@@ -1,0 +1,94 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Tokenizer chain replicating the reference's Elasticsearch "default"
+  * analyzer: whitespace tokenizer -> lowercase -> word_delimiter filter with
+  * `generate_word_parts=true, generate_number_parts=true,
+  * preserve_original=true, split_on_case_change=false,
+  * split_on_numerics=false, stem_english_possessive=true`, no catenation
+  * (reference: mrtarget/resources/es/sea_settings.json:22-51; the "default"
+  * analyzer block applies it to every text field).
+  *
+  * This chain is the pinned "reference extractor" anchor: the index build,
+  * the query parser and the test oracle all share this single function, so
+  * token streams are byte-identical across parallelism levels.
+  *
+  * Semantics (golden fixtures in FIXTURES.md §2 / AnalyzerSpec):
+  *  - split on Unicode whitespace, drop empties (multiple spaces collapse)
+  *  - lowercase (ROOT locale)
+  *  - per whitespace token: subword parts are maximal runs of [a-z0-9']
+  *    (apostrophe is NOT a delimiter; case/numeric transitions do not split
+  *    because split_on_case_change / split_on_numerics are false and input
+  *    is already lowercased)
+  *  - each part has a trailing "'s" possessive stripped
+  *  - the original token is preserved ahead of its parts unless it equals
+  *    its single part; tokens with no alphanumeric content are dropped
+  */
+object Analyzer extends Serializable {
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
+
+  private def stemPossessive(s: String): String =
+    if (s.length >= 2 && s.charAt(s.length - 2) == '\'' &&
+        (s.charAt(s.length - 1) == 's')) s.substring(0, s.length - 2)
+    else s
+
+  /** Emit tokens for one whitespace-delimited, already-lowercased word. */
+  private def emit(orig: String, out: ArrayBuffer[String]): Unit = {
+    // collect maximal runs of word chars
+    var i = 0
+    val n = orig.length
+    var nParts = 0
+    var firstPart: String = null
+    val parts = new ArrayBuffer[String](2)
+    while (i < n) {
+      while (i < n && !isWordChar(orig.charAt(i))) i += 1
+      val start = i
+      while (i < n && isWordChar(orig.charAt(i))) i += 1
+      if (i > start) {
+        val p = stemPossessive(orig.substring(start, i))
+        if (p.nonEmpty) {
+          parts += p
+          if (nParts == 0) firstPart = p
+          nParts += 1
+        }
+      }
+    }
+    if (nParts == 0) return // pure punctuation: dropped
+    if (nParts == 1 && firstPart == orig) out += orig
+    else {
+      out += orig // preserve_original
+      out ++= parts
+    }
+  }
+
+  /** Full analyzer chain: text -> token stream (order preserved). */
+  def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new ArrayBuffer[String](text.length / 6 + 4)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start)
+        emit(text.substring(start, i).toLowerCase(java.util.Locale.ROOT), out)
+    }
+    out.toArray
+  }
+
+  /** Term-frequency map of the analyzed text (map-side, no shuffle). */
+  def termFreqs(text: String): Map[String, Int] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    tokenize(text).foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+    m.toMap
+  }
+
+  /** "onechunk"/fingerprint analyzer of the reference (gen_settings.json:36-44):
+    * keyword tokenizer -> lowercase -> fingerprint (sorted unique tokens). */
+  def fingerprint(text: String): String =
+    tokenize(text).distinct.sorted.mkString(" ")
+}

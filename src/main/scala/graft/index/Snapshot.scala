@@ -1,0 +1,80 @@
+package graft.index
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Per-segment lineage + metrics recorded with every commit (the analogue of
+  * the reference's per-index QC metric dicts, mrtarget/modules/QC.py:27-126,
+  * and of Iceberg's per-manifest stats — the Iceberg runtime is not on the
+  * classpath, so this minimal commit log reproduces the needed semantics). */
+case class SegmentMeta(
+    segId: Int,
+    docs: Long,
+    terms: Long,
+    postings: Long,
+    dataDir: String)
+
+/** One committed index snapshot. `status` is "stats" after the global-stats
+  * pass (numDocs/sumDocLen pinned so a resumed build encodes block-max
+  * metadata with the identical avgdl) and "segments" once posting segments
+  * are committed. A snapshot with segments.size == numSegments is complete. */
+case class SnapshotMeta(
+    id: Int,
+    parent: Int,
+    status: String,
+    numDocs: Long,
+    sumDocLen: Long,
+    numSegments: Int,
+    blockSize: Int,
+    dataDirs: Seq[String],
+    termdictDir: Option[String],
+    segments: Seq[SegmentMeta]) {
+  def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
+  def isComplete: Boolean =
+    status == "segments" && segments.map(_.segId).distinct.size == numSegments
+  def completedSegIds: Set[Int] = segments.map(_.segId).toSet
+}
+
+/** Atomic snapshot commit log over a plain filesystem: segment/termdict
+  * parquet is written to content-addressed subdirs first, then a single
+  * JSON snapshot file is moved into place and the LATEST pointer is
+  * atomically renamed. Readers resolve data files only through LATEST, so
+  * a killed build is invisible until its commit; restart resumes from the
+  * last committed snapshot (SURVEY.md §7 "Snapshot atomicity"). */
+object Snapshot {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private def snapsDir(indexDir: String): Path = Paths.get(indexDir, "snapshots")
+
+  def commit(indexDir: String, snap: SnapshotMeta): Unit = {
+    val dir = snapsDir(indexDir)
+    Files.createDirectories(dir)
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap)
+    val file = dir.resolve(f"snap-${snap.id}%05d.json")
+    val tmp = dir.resolve(f".snap-${snap.id}%05d.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val latestTmp = dir.resolve(".LATEST.tmp")
+    Files.writeString(latestTmp, snap.id.toString)
+    Files.move(latestTmp, dir.resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def latest(indexDir: String): Option[SnapshotMeta] = {
+    val ptr = snapsDir(indexDir).resolve("LATEST")
+    if (!Files.exists(ptr)) None
+    else {
+      val id = Files.readString(ptr).trim.toInt
+      val file = snapsDir(indexDir).resolve(f"snap-$id%05d.json")
+      Some(mapper.readValue(Files.readString(file), classOf[SnapshotMeta]))
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.search
+
+import scala.collection.mutable
+
+final case class SegHit(docId: Long, score: Double)
+
+/** Document-at-a-time block-max WAND top-k over one segment's posting
+  * cursors (the runtime the reference delegates to Elasticsearch/Lucene —
+  * SURVEY.md §2.8 "top-k retrieval"; algorithm per Broder et al. 2003 and
+  * Ding & Suel 2011, public literature).
+  *
+  * Correctness invariants:
+  *  - results are exact top-k under (score desc, docId asc): a candidate is
+  *    pruned only when its score upper bound cannot strictly exceed the
+  *    current kth score, and an equal score arriving later necessarily has a
+  *    larger docId (ascending traversal), so it loses the tie anyway;
+  *  - full evaluation accumulates term contributions in ascending term
+  *    order (`iters` is term-sorted) so floats are bit-identical to the
+  *    exhaustive oracle.
+  */
+object Wand {
+
+  /** `iters` must be sorted by term asc and started; `lens(rank-1)` is the
+    * doc length for seg-local rank. */
+  def topK(
+      iters: Array[PostingIterator],
+      lens: Array[Int],
+      segBase: Long,
+      avgdl: Double,
+      k: Int): Array[SegHit] = {
+    val n = iters.length
+    if (n == 0 || k <= 0) return Array.empty
+
+    // min-heap on (score asc, docId desc): head = weakest kept hit
+    implicit val worstFirst: Ordering[SegHit] = (a: SegHit, b: SegHit) => {
+      val c = java.lang.Double.compare(b.score, a.score) // smaller score = "greater"
+      if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
+    }
+    val heap = mutable.PriorityQueue.empty[SegHit]
+    def theta: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.head.score
+
+    // refs sorted by curDoc for pivoting; `iters` keeps term order for eval
+    val refs: Array[PostingIterator] = iters.clone()
+
+    def sortRefs(): Unit = {
+      // insertion sort: nearly-sorted between iterations, tiny n
+      var i = 1
+      while (i < refs.length) {
+        val x = refs(i)
+        var j = i - 1
+        while (j >= 0 && refs(j).curDoc > x.curDoc) { refs(j + 1) = refs(j); j -= 1 }
+        refs(j + 1) = x
+        i += 1
+      }
+    }
+
+    def evalDoc(doc: Long): Unit = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { // ascending term order — float-order pinned
+        val it = iters(i)
+        if (it.curDoc == doc)
+          s += it.idf * Bm25.tfNorm(it.curTf, lens((doc - segBase - 1).toInt), avgdl)
+        i += 1
+      }
+      if (heap.size < k) heap.enqueue(SegHit(doc, s))
+      else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(doc, s)) }
+      i = 0
+      while (i < n) {
+        if (iters(i).curDoc == doc) iters(i).next()
+        i += 1
+      }
+    }
+
+    var continue = true
+    while (continue) {
+      sortRefs()
+      if (refs(0).exhausted) { continue = false }
+      else {
+        // pivot: first prefix whose summed upper bounds beat theta
+        val th = theta
+        var acc = 0.0
+        var p = 0
+        var found = false
+        while (p < n && !found) {
+          if (refs(p).exhausted) p = n
+          else {
+            acc += refs(p).maxScore
+            if (acc > th) found = true else p += 1
+          }
+        }
+        if (!found) continue = false
+        else {
+          val pivotDoc = refs(p).curDoc
+          if (refs(0).curDoc == pivotDoc) {
+            // extend to every cursor sitting on the pivot document
+            var q = p
+            while (q + 1 < n && refs(q + 1).curDoc == pivotDoc) q += 1
+            // block-max refinement over cursors 0..q
+            var bm = 0.0
+            var i = 0
+            while (i <= q) {
+              refs(i).shallowSeek(pivotDoc)
+              bm += refs(i).blockMaxScore
+              i += 1
+            }
+            if (heap.size < k || bm > th) evalDoc(pivotDoc)
+            else {
+              // skip past the smallest block boundary among 0..q, but not
+              // past the next cursor's document
+              var d = Long.MaxValue
+              i = 0
+              while (i <= q) {
+                val bl = refs(i).blockLastDoc
+                if (bl < d) d = bl
+                i += 1
+              }
+              var target = if (d == Long.MaxValue) Long.MaxValue else d + 1
+              if (target <= pivotDoc) target = pivotDoc + 1
+              if (q + 1 < n && refs(q + 1).curDoc < target) target = refs(q + 1).curDoc
+              i = 0
+              while (i <= q) { refs(i).seek(target); i += 1 }
+            }
+          } else {
+            // align cursors below the pivot onto it: docs in between can only
+            // contain terms whose summed bounds were <= theta
+            var i = 0
+            while (i < p) {
+              if (refs(i).curDoc < pivotDoc) refs(i).seek(pivotDoc)
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    heap.dequeueAll.reverse.toArray // best first
+  }
+}

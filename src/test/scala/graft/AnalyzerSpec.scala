@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+
+/** Golden token fixtures per FIXTURES.md §2 — the reference analyzer chain
+  * (mrtarget/resources/es/sea_settings.json:22-51). */
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("word_delimiter parts with preserve_original") {
+    assert(Analyzer.tokenize("Wi-Fi routers").toSeq ===
+      Seq("wi-fi", "wi", "fi", "routers"))
+  }
+
+  test("possessive stemming on parts, apostrophe not a delimiter") {
+    assert(Analyzer.tokenize("O'Brien's dog").toSeq ===
+      Seq("o'brien's", "o'brien", "dog"))
+  }
+
+  test("no split on numerics") {
+    assert(Analyzer.tokenize("ENSG00000139618 gene").toSeq ===
+      Seq("ensg00000139618", "gene"))
+  }
+
+  test("whitespace collapse and hyphen parts") {
+    assert(Analyzer.tokenize("anti-TNF   therapy").toSeq ===
+      Seq("anti-tnf", "anti", "tnf", "therapy"))
+  }
+
+  test("pure punctuation dropped; empty and null safe") {
+    assert(Analyzer.tokenize("--- !!! ...").isEmpty)
+    assert(Analyzer.tokenize("").isEmpty)
+    assert(Analyzer.tokenize(null).isEmpty)
+  }
+
+  test("trailing punctuation preserves original") {
+    assert(Analyzer.tokenize("done.").toSeq === Seq("done.", "done"))
+  }
+
+  test("term frequencies count every emitted token") {
+    val tf = Analyzer.termFreqs("data data Wi-Fi")
+    assert(tf("data") === 2)
+    assert(tf("wi-fi") === 1)
+    assert(tf("wi") === 1)
+    assert(tf("fi") === 1)
+  }
+
+  test("fingerprint analyzer: sorted unique tokens") {
+    assert(Analyzer.fingerprint("b a b A c") === "a b c")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.corpus.Corpus
+import graft.index.{IndexBuilder, IndexConfig, Snapshot}
+import graft.search.{OracleSearch, Searcher}
+
+/** The north-rule acceptance spec: the distributed block-max WAND engine
+  * returns rank-identical docIds AND bit-identical BM25 scores vs the
+  * exhaustive in-repo oracle on a fixed seeded query set; builds resume from
+  * the snapshot log; index bytes are independent of input partitioning. */
+class IndexSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val cfg = IndexConfig(numSegments = 8, blockSize = 16)
+  private lazy val pages = Corpus.pages(spark, 600, seed = 42,
+    vocabSize = 800, medianLen = 60).cache()
+  private lazy val docs: Seq[(String, String)] =
+    pages.select("url", "text").as[(String, String)].collect().toSeq
+  private lazy val indexDir = {
+    val dir = Files.createTempDirectory("graft-idx").toString
+    IndexBuilder.build(spark, pages.toDF(), dir, cfg)
+    dir
+  }
+
+  // fixed seeded query set: head terms, tail terms, multi-term, analyzer
+  // edge cases, absent terms (FIXTURES.md §3)
+  private val queries = Seq(
+    "the", "data", "spark fast", "merge sort join", "the data spark",
+    "wi-fi", "Wi-Fi routers", "o'brien's", "anti-TNF", "crawl web page",
+    "block max cache disk", "w500x", "w700x w600x", "nosuchterm",
+    "nosuchterm data", "the the the", "value order group window",
+    "posting shard segment score rank", "a", "w100x w200x w300x w400x")
+
+  test("rank-identical top-10 docIds and bit-identical scores vs oracle") {
+    queries.foreach { q =>
+      val engine = Searcher.topK(spark, indexDir, q, 10)
+      val oracle = OracleSearch.topK(docs, q, 10, cfg.numSegments)
+      assert(engine.map(_.docId).toSeq === oracle.map(_.docId).toSeq, s"query: $q")
+      assert(engine.map(_.url).toSeq === oracle.map(_.url).toSeq, s"query: $q")
+      engine.zip(oracle).foreach { case (e, o) =>
+        assert(e.score === o.score, s"score drift for '$q' doc ${e.docId}")
+      }
+    }
+  }
+
+  test("top-k at k=3 and k=50 also match") {
+    Seq(3, 50).foreach { k =>
+      Seq("the data", "merge sort join").foreach { q =>
+        val engine = Searcher.topK(spark, indexDir, q, k)
+        val oracle = OracleSearch.topK(docs, q, k, cfg.numSegments)
+        assert(engine.map(h => (h.docId, h.score)).toSeq ===
+          oracle.map(h => (h.docId, h.score)).toSeq, s"k=$k q=$q")
+      }
+    }
+  }
+
+  test("empty and absent queries return empty") {
+    assert(Searcher.topK(spark, indexDir, "zzzznope", 10).isEmpty)
+    assert(Searcher.topK(spark, indexDir, "!!! ---", 10).isEmpty)
+  }
+
+  test("build resumes from last committed snapshot and completes") {
+    val dir = Files.createTempDirectory("graft-idx-resume").toString
+    // simulate a run killed after committing segments 0..3
+    val partial = IndexBuilder.build(spark, pages.toDF(), dir, cfg,
+      simulateOnlySegments = Some(Set(0, 1, 2, 3)))
+    assert(!partial.isComplete)
+    assert(partial.completedSegIds === Set(0, 1, 2, 3))
+    assert(Snapshot.latest(dir).get.termdictDir.isEmpty)
+    // resume: only missing segments are built, then the full commit lands
+    val done = IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
+    assert(done.isComplete)
+    assert(done.numDocs === partial.numDocs && done.sumDocLen === partial.sumDocLen)
+    assert(done.dataDirs.size === 2, "resume must not rewrite committed segments")
+    // resumed index answers identically to the one-shot index
+    Seq("the data", "merge sort join", "w500x").foreach { q =>
+      val a = Searcher.topK(spark, indexDir, q, 10).toSeq
+      val b = Searcher.topK(spark, dir, q, 10).toSeq
+      assert(a === b, s"query: $q")
+    }
+    // idempotent: resuming a complete index is a no-op
+    val again = IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
+    assert(again.id === done.id)
+  }
+
+  test("index bytes are independent of input partitioning") {
+    def canon(dir: String): Seq[(Int, String, Long, Long, String, String)] = {
+      val snap = Snapshot.latest(dir).get
+      spark.read.parquet(snap.dataDirs.map(d => s"$dir/$d"): _*)
+        .selectExpr("segId", "term", "df", "cf", "md5(docBytes) d", "md5(tfBytes) t")
+        .as[(Int, String, Long, Long, String, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    val dir2 = Files.createTempDirectory("graft-idx-par").toString
+    val repart = Corpus.pages(spark, 600, seed = 42, vocabSize = 800,
+      medianLen = 60, numPartitions = 13)
+    IndexBuilder.build(spark, repart.toDF(), dir2, cfg)
+    assert(canon(indexDir) === canon(dir2))
+  }
+
+  test("per-segment lineage metrics are consistent") {
+    val snap = Snapshot.latest(indexDir).get
+    assert(snap.segments.map(_.docs).sum === 600)
+    assert(snap.segments.size === cfg.numSegments)
+    snap.segments.foreach { s =>
+      assert(s.postings >= s.terms, s"seg ${s.segId}")
+    }
+  }
+}
