@@ -23,8 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= jdk17AddOpens ++
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq) ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // fixed, pre-touched heap: lazy heap expansion inside a VM shows up as
+  // page-fault CPU charged to task threads and wrecks run-to-run variance
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

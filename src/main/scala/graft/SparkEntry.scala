@@ -1,13 +1,402 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.ops.{Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
+import graft.search.Searcher
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with DuckDB-runnable oracle SQL wherever the semantics
+  * are SQL-expressible. Column names and float rounding are aligned on both
+  * sides because the driver hash-compares values per sorted column name. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship on sf0.001: synthesize a seeded web corpus, build the
+    * inverted index, answer a BM25 top-10 query (driver checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft-entry-idx").toString
+    val pages = Corpus.pages(spark, 1000, seed = 42)
+    IndexBuilder.build(spark, pages.toDF(), dir,
+      IndexConfig(numSegments = 8, blockSize = 64))
+    Searcher.topKDF(spark, dir, "the data spark", 10)
+  }
+
+  /** BM25 over the driver's `documents` table through the full engine
+    * (build + WAND query). numSegments=1 pins the docId order to the
+    * zero-padded-url order == doc_id order, so score ties break identically
+    * to the SQL oracle's ORDER BY score DESC, doc_id. */
+  private def bm25Docs(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Files.createTempDirectory("graft-q21-idx").toString
+    val docs = t(spark, dir, "documents")
+      .select(format_string("doc://%08d", col("doc_id")).as("url"), col("text"))
+    IndexBuilder.build(spark, docs, idx, IndexConfig(numSegments = 1, blockSize = 64))
+    val hits = Searcher.topK(spark, idx, Bm25Query, 20)
+    import spark.implicits._
+    hits.toSeq.toDF("rank", "docId", "url", "score")
+      .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  private val Bm25Query = "data spark merge"
+  private val Bm25Terms = Seq("data", "spark", "merge")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / aggregation backbone (SURVEY §2.2-§2.5) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("cnt"))
+    }),
+    "q02_region_revenue" -> ((s, d) => {
+      val dims = t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select("s_suppkey", "n_name")
+      t(s, d, "lineitem").join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    "q03_top_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+    "q04_semi_join" -> ((s, d) => {
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+    "q05_anti_join" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+    "q06_full_outer_counts" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("open_cnt"))
+      val b = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("done_cnt"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("open_cnt"), lit(0L)).as("open_cnt"),
+          coalesce(col("done_cnt"), lit(0L)).as("done_cnt"))
+    }),
+    "q07_term_df" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+    }),
+    "q08_harmonic_user" -> ((s, d) => {
+      t(s, d, "events").groupBy("user_id")
+        .agg(round(HarmonicSum.column(100, 2.0)(col("value")), 6).as("hs"))
+    }),
+    "q09_event_validate" -> ((s, d) => {
+      t(s, d, "events").select(
+        when(!col("event_type").isin("click", "view", "purchase"), "unknown_type")
+          .when(col("value") > 300.0, "value_out_of_range")
+          .when(!col("props").startsWith("{"), "bad_props")
+          .otherwise("valid").as("explanation"))
+        .groupBy("explanation").agg(count(lit(1)).as("n"))
+    }),
+    "q23_rollup_qty" -> ((s, d) => {
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+    "q24_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val per = gapped.groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
+      per.groupBy("user_id").agg(max("sess").as("n_sessions"),
+        max("n").as("max_session_events"))
+    }),
+    "q25_pivot_events" -> ((s, d) => {
+      t(s, d, "events").groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .count().na.fill(0L)
+    }),
+    "q20_unpivot_part" -> ((s, d) => {
+      t(s, d, "part").selectExpr("p_partkey",
+        "stack(2, 'size', cast(p_size as double), 'retailprice', p_retailprice) as (attr, val)")
+    }),
+
+    // ---- dedup family ----
+    "q10_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+    "q11_jaccard_neardup" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)),
+    "q17_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        3, 64, 16, 0.5)),
+    "q18_simhash_sig" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.simhashHexUdf(col("text")).as("simhash"))),
+    "q16_embedding_neardup" -> ((s, d) =>
+      SimSearch.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // ---- similarity search ----
+    "q15_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.cosineTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+    "q22_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.annTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
+    // ---- text analysis ----
+    "q12_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprintExpr(col("text")).as("fp"))),
+    "q13_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("type_token_ratio"), col("avg_token_len"),
+          col("n_bytes").cast("long").as("n_bytes"))),
+    "q14_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.langIdExpr(split(col("text"), " ")).as("pred_lang"))),
+    "q19_token_regex_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_runs"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("n_bpe_pieces"))),
+
+    // ---- multimodal plumbing (stubbed codec, real transport) ----
+    "q26_media_stats" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.fromText(t(s, d, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("head_byte").cast("long").as("head_byte"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    }),
+
+    // ---- the fulltext engine itself ----
+    "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS cnt FROM lineitem GROUP BY 1,2""",
+    "q02_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+         JOIN nation ON s_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         WHERE r_name='AMERICA' GROUP BY 1""",
+    "q03_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey=c.c_custkey AND o.o_orderstatus='F')""",
+    "q05_anti_join" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)""",
+    "q06_full_outer_counts" ->
+      """SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                COALESCE(a.open_cnt, 0) AS open_cnt,
+                COALESCE(b.done_cnt, 0) AS done_cnt
+         FROM (SELECT o_custkey, count(*) AS open_cnt FROM orders
+               WHERE o_orderstatus='O' GROUP BY 1) a
+         FULL JOIN (SELECT o_custkey, count(*) AS done_cnt FROM orders
+                    WHERE o_orderstatus='F' GROUP BY 1) b
+           ON a.o_custkey=b.o_custkey""",
+    "q07_term_df" ->
+      """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+               FROM documents) GROUP BY 1""",
+    "q08_harmonic_user" ->
+      """SELECT user_id, round(sum(value/pow(rn,2)),6) AS hs FROM (
+           SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS rn FROM events)
+         WHERE rn <= 100 GROUP BY 1""",
+    "q09_event_validate" ->
+      """SELECT CASE
+           WHEN event_type NOT IN ('click','view','purchase') THEN 'unknown_type'
+           WHEN value > 300.0 THEN 'value_out_of_range'
+           WHEN props NOT LIKE '{%' THEN 'bad_props'
+           ELSE 'valid' END AS explanation, count(*) AS n
+         FROM events GROUP BY 1""",
+    "q23_rollup_qty" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q24_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  lag(epoch_us(ts)) OVER w AS prev_us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+           FROM g),
+         per AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1,2)
+         SELECT user_id, max(sess) AS n_sessions,
+                max(n) AS max_session_events FROM per GROUP BY 1""",
+    "q25_pivot_events" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+         FROM events GROUP BY 1""",
+    "q20_unpivot_part" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+         UNION ALL
+         SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part""",
+    "q10_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+         FROM documents GROUP BY 1""",
+    "q11_jaccard_neardup" ->
+      JaccardSql,
+    "q17_minhash_neardup" ->
+      JaccardSql, // LSH recall is 1.0 on this corpus (verified in DedupSpec):
+                  // candidates >= all true pairs at jaccard >= 0.5
+    "q16_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
+    "q15_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, n.vec_id AS nbr_id,
+                  round(list_cosine_similarity(n.v, p.v), 6) AS cos
+           FROM e p JOIN e n ON n.vec_id <> p.vec_id
+           WHERE p.vec_id < 10),
+         ranked AS (
+           SELECT probe_id, nbr_id, cos,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, nbr_id) AS rnk
+           FROM scored)
+         SELECT probe_id, nbr_id, rnk, cos FROM ranked WHERE rnk <= 5""",
+    "q12_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp
+         FROM documents""",
+    "q13_quality" ->
+      """SELECT doc_id,
+           len(string_split(text,' ')) AS n_tokens,
+           len(list_distinct(string_split(text,' '))) AS n_distinct,
+           round(len(list_distinct(string_split(text,' ')))*1.0
+                 / len(string_split(text,' ')), 6) AS type_token_ratio,
+           round((length(text) - len(string_split(text,' ')) + 1)*1.0
+                 / len(string_split(text,' ')), 6) AS avg_token_len,
+           strlen(text) AS n_bytes
+         FROM documents""",
+    "q14_langid" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tk
+                       FROM documents),
+         v AS (SELECT doc_id,
+            len(list_intersect(tk, ['the','a','of','and','is'])) AS c_en,
+            len(list_intersect(tk, ['el','la','de','y','es'])) AS c_es,
+            len(list_intersect(tk, ['der','die','das','und','ist'])) AS c_de,
+            len(list_intersect(tk, ['le','la','de','et','est'])) AS c_fr
+           FROM toks),
+         m AS (SELECT doc_id, c_en, c_es, c_de, c_fr,
+                      greatest(c_en, c_es, c_de, c_fr) AS best FROM v)
+         SELECT doc_id, CASE
+           WHEN best = 0 THEN 'und'
+           WHEN (CASE WHEN c_de=best THEN 1 ELSE 0 END +
+                 CASE WHEN c_en=best THEN 1 ELSE 0 END +
+                 CASE WHEN c_es=best THEN 1 ELSE 0 END +
+                 CASE WHEN c_fr=best THEN 1 ELSE 0 END) > 1 THEN 'und'
+           WHEN c_de=best THEN 'de' WHEN c_en=best THEN 'en'
+           WHEN c_es=best THEN 'es' ELSE 'fr' END AS pred_lang
+         FROM m""",
+    "q19_token_regex_stats" ->
+      """SELECT doc_id,
+           len(string_split(text,' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text,'[a-z]+')) AS n_alpha_runs,
+           len(regexp_extract_all(text,'[a-z]{1,4}')) AS n_bpe_pieces
+         FROM documents""",
+    "q26_media_stats" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+           CAST(CASE WHEN length(text)=0 THEN 0 ELSE ascii(substr(text,1,1)) END AS BIGINT) AS head_byte,
+           strlen(text) % 640 AS width,
+           (strlen(text) * 7) % 480 AS height
+         FROM documents""",
+    "q21_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                        FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1,2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                    AS score
+                FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+                GROUP BY 1)
+         SELECT doc_id, round(score,6) AS score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 20"""
+  )
+
+  private val JaccardSql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+                unnest(range(1, len(string_split(text,' '))+1)) AS pos
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT a.doc_id AS id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+         FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                     JOIN toks c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.s=y.s AND x.id<y.id GROUP BY 1,2)
+       SELECT id_a, id_b, round(i*1.0/(sa.sz+sb.sz-i),6) AS jaccard
+       FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b
+       WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5"""
 }

@@ -37,15 +37,11 @@ object Corpus {
     "posting", "shard", "segment", "score", "rank", "crawl", "web", "page",
     "anti-tnf", "wi-fi", "o'brien's", "cache", "disk", "block", "max")
 
-  def vocab(size: Int): Array[String] = {
-    val v = new Array[String](size)
-    var i = 0
-    while (i < size) {
-      v(i) = if (i < headWords.length) headWords(i) else s"w${i}x"
-      i += 1
-    }
-    v
-  }
+  private val vocabCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[String]]()
+  def vocab(size: Int): Array[String] =
+    vocabCache.computeIfAbsent(size, { s =>
+      Array.tabulate(s)(i => if (i < headWords.length) headWords(i) else s"w${i}x")
+    })
 
   /** Cumulative Zipf(1.15) distribution over ranks 1..size. */
   private val cdfCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()

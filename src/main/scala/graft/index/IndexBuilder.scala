@@ -22,10 +22,14 @@ case class IndexConfig(
   *
   *  - docBytes: delta + varint docIds (ascending within segment)
   *  - tfBytes:  varint term frequencies, aligned with docBytes
-  *  - blockLast/blockMax/blockDocOff/blockTfOff: for every `blockSize`
-  *    postings, the last docId, the max BM25 tf-norm in the block, and the
-  *    byte offsets where the block's streams start (block-max WAND skips
-  *    whole blocks without decoding them)
+  *  - blockLast/blockMaxTf/blockMinDl/blockDocOff/blockTfOff: for every
+  *    `blockSize` postings, the last docId, the block's max tf and min
+  *    doclen (tfNorm is monotone up in tf / down in doclen, so
+  *    tfNorm(maxTf, minDl) bounds every posting in the block for any
+  *    avgdl), and the byte offsets where the block's streams start.
+  *    Storing (maxTf, minDl) instead of a tf-norm keeps block metadata
+  *    independent of global stats — the build is single-pass and a
+  *    resumed build needs no stats consistency protocol
   *
   * Two special marker rows per segment use reserved `term` values the
   * analyzer can never emit: TermLens ("") carries varint doc lengths indexed
@@ -38,11 +42,13 @@ case class PostingRow(
     term: String,
     df: Long,
     cf: Long,
-    maxTfNorm: Double,
+    maxTf: Int,
+    minDl: Int,
     docBytes: Array[Byte],
     tfBytes: Array[Byte],
     blockLast: Array[Long],
-    blockMax: Array[Double],
+    blockMaxTf: Array[Int],
+    blockMinDl: Array[Int],
     blockDocOff: Array[Int],
     blockTfOff: Array[Int])
 
@@ -50,9 +56,6 @@ case class PostingRow(
   * sort ahead of every real term within their segment. */
 case class TokRow(
     segId: Int, term: String, docId: Long, tf: Int, doclen: Int, url: String)
-
-private case class RankedRow(
-    segId: Int, docId: Long, rank: Int, url: String, tfmap: Map[String, Int])
 
 /** From-scratch distributed inverted-index build (the half the reference
   * delegates to Elasticsearch — SURVEY.md §2.8). Document-partitioned
@@ -75,16 +78,36 @@ private case class RankedRow(
   *     -> mapPartitions streaming encoder           [narrow, run-bounded mem]
   *     -> parquet segments + snapshot commit
   *
-  * Global stats (N, sum doclen) are integer aggregates committed in a
-  * "stats" snapshot first, so block-max metadata is encoded against an
-  * avgdl that is exact and identical on resume.
+  * Global stats (N, sum doclen) are exact integer sums over per-segment
+  * metadata, derived at commit time — the build is single-pass (one
+  * tokenization of the corpus) because no per-posting byte depends on them.
   */
+
 object IndexBuilder {
   val SegShift = 40
+  /** Marker terms the analyzer can never emit: real tokens match [a-z0-9']+
+    * so they sort strictly above both markers. */
   val TermLens = ""
   val TermUrls = "\u0001"
 
   def segBase(segId: Int): Long = segId.toLong << SegShift
+
+  /** keys(s) = smallest non-negative int x with pmod(murmur3(x, 42), P) == s,
+    * i.e. Spark's HashPartitioning sends a row with value keys(s) to
+    * partition s exactly. Pure function of P — safe for resume/determinism. */
+  private[index] def bijectionKeys(P: Int): Array[Int] = {
+    val keys = new Array[Int](P)
+    val found = new Array[Boolean](P)
+    var x = 0
+    var n = 0
+    while (n < P) {
+      val b = math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42), P)
+      if (!found(b)) { found(b) = true; keys(b) = x; n += 1 }
+      x += 1
+    }
+    keys
+  }
 
   /** Build (or resume) the index for `pages` (needs `url`, `text` columns)
     * under `indexDir`. `simulateOnlySegments` lets tests model a build
@@ -107,103 +130,105 @@ object IndexBuilder {
     }
 
     val P = cfg.numSegments
-    val tokenLenUdf = udf((text: String) => Analyzer.tokenize(text).length)
     val tfMapUdf = udf((text: String) => Analyzer.termFreqs(text))
     val segUdf = udf((url: String) => Hashing.segmentOf(url, P))
 
-    // ---- pass 1: exact global stats (integer sums — reduction-order-proof)
-    val stats = prior match {
-      case Some(p) => (p.numDocs, p.sumDocLen)
-      case None =>
-        val row = pages
-          .select(count(lit(1)).as("n"),
-            coalesce(sum(tokenLenUdf(col("text")).cast("long")), lit(0L)).as("sumdl"))
-          .head()
-        val (n, sumdl) = (row.getLong(0), row.getLong(1))
-        val statsSnap = SnapshotMeta(
-          id = 1, parent = -1,
-          status = "stats", numDocs = n, sumDocLen = sumdl,
-          numSegments = P, blockSize = cfg.blockSize,
-          dataDirs = Nil, termdictDir = None, segments = Nil)
-        Snapshot.commit(indexDir, statsSnap)
-        (n, sumdl)
-    }
-    val (numDocs, sumDocLen) = stats
-    val avgdl = Bm25.avgdl(numDocs, sumDocLen)
-    val snapAfterStats = Snapshot.latest(indexDir).get
-
-    // ---- pass 2: build the missing segments only (resume = segment pruning)
+    // build only the missing segments (resume = pure segment pruning; no
+    // global pass is needed because nothing in a segment depends on the
+    // other segments)
     val done = prior.map(_.completedSegIds).getOrElse(Set.empty[Int])
     val wanted = (0 until P).filterNot(done.contains)
       .filter(s => simulateOnlySegments.forall(_.contains(s)))
-    if (wanted.isEmpty) return snapAfterStats
-    val snapId = snapAfterStats.id + 1
+    require(wanted.nonEmpty, "nothing to build: all segments committed")
+    val snapId = prior.map(_.id).getOrElse(0) + 1
     val buildDirRel = f"data/build-$snapId%05d"
     val buildDir = s"$indexDir/$buildDirRel"
 
     val blockSize = cfg.blockSize
-    val ranked = pages.select(col("url"), col("text"))
+    // One narrow pipeline after the single exchange; everything between the
+    // tokenizer UDF and the encoder stays in Tungsten codegen. The
+    // per-document marker row (doc length + url, term == TermLens) is
+    // synthesized by folding a sentinel entry into the tf map before the
+    // native explode — no typed flatMap, no second pass over the corpus.
+    val tokRows = pages.select(col("url"), col("text"))
       .withColumn("segId", segUdf(col("url")))
       .filter(col("segId").isin(wanted: _*))
-      .repartition(P, col("segId"))
+      // Exact 1:1 segment->task mapping: plain repartition(P, segId) is a
+      // balls-in-bins trap (a task receiving 3-4 hash-colliding segments
+      // becomes a 4x straggler for the whole stage), and repartitionByRange
+      // costs an extra sampling pass over the corpus. Instead map segId
+      // through a driver-computed murmur3 bijection so hashpartitioning
+      // sends segment s exactly to partition s.
+      .withColumn("part", element_at(lit(bijectionKeys(P)), col("segId") + 1))
+      .repartition(P, col("part"))
       .withColumn("rank",
-        row_number().over(Window.partitionBy(col("segId")).orderBy(col("url"))))
+        row_number().over(Window.partitionBy(col("part")).orderBy(col("url"))))
       .withColumn("docId",
         shiftleft(col("segId").cast("long"), SegShift) + col("rank"))
       .withColumn("tfmap", tfMapUdf(col("text")))
-      .select("segId", "docId", "rank", "url", "tfmap")
-      .as[RankedRow]
+      .withColumn("doclen",
+        aggregate(map_values(col("tfmap")), lit(0), (acc, x) => acc + x))
+      .select(col("segId"), col("docId"), col("doclen"), col("url"),
+        explode(map_concat(map(lit(TermLens), lit(0)), col("tfmap")))
+          .as(Seq("term", "tf")))
+      .select(col("segId"), col("term"), col("docId"), col("tf"), col("doclen"),
+        when(col("term") === TermLens, col("url")).as("url"))
+      .as[TokRow]
 
-    val tokRows = ranked.flatMap { r =>
-      val doclen = r.tfmap.valuesIterator.sum
-      Iterator.single(TokRow(r.segId, TermLens, r.docId, 0, doclen, r.url)) ++
-        r.tfmap.iterator.map { case (t, f) =>
-          TokRow(r.segId, t, r.docId, f, doclen, null)
-        }
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_BUILD_TIMING"))
+        System.err.println(f"[build-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
 
-    tokRows
-      .sortWithinPartitions("segId", "term", "docId")
-      .mapPartitions(it => encodePartition(it, blockSize, avgdl))
-      .write.mode("overwrite").parquet(buildDir)
+    timed("encode+write") {
+      tokRows
+        .sortWithinPartitions("segId", "term", "docId")
+        .mapPartitions(it => encodePartition(it, blockSize))
+        .write.mode("overwrite").parquet(buildDir)
+    }
 
     // per-segment lineage metrics from the freshly written segments
-    val metrics = spark.read.parquet(buildDir)
+    val metrics = timed("metrics")(spark.read.parquet(buildDir)
       .groupBy("segId").agg(
         max(when(col("term") === TermLens, col("df")).otherwise(0L)).as("docs"),
+        max(when(col("term") === TermLens, col("cf")).otherwise(0L)).as("sumdl"),
         sum(when(col("term") > TermUrls, 1L).otherwise(0L)).as("terms"),
         sum(when(col("term") > TermUrls, col("df")).otherwise(0L)).as("postings"))
       .collect()
-      .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), buildDirRel))
-      .sortBy(_.segId).toSeq
+      .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(2), buildDirRel))
+      .sortBy(_.segId).toSeq)
 
     val allSegments = (prior.map(_.segments).getOrElse(Nil) ++ metrics).sortBy(_.segId)
     val allDataDirs = (prior.map(_.dataDirs).getOrElse(Nil) :+ buildDirRel).distinct
     val complete = allSegments.map(_.segId).distinct.size == P
 
-    // ---- pass 3: term dictionary over all committed segments.
+    // term dictionary over all committed segments.
     // Explicit two-phase salted aggregation: head terms (Zipf skew) are first
-    // combined per (term, salt) bucket, then reduced per term — the salted
+    // combined per (term, salt) bucket, then reduced per term -- the salted
     // merge step the north rule requires for posting consolidation at scale.
     val termdictRel = if (complete) Some(f"termdict/snap-$snapId%05d") else None
-    termdictRel.foreach { rel =>
+    termdictRel.foreach { rel => timed("termdict")(
       spark.read.parquet(allDataDirs.map(d => s"$indexDir/$d"): _*)
         .filter(col("term") > TermUrls)
-        .select("term", "segId", "df", "cf", "maxTfNorm")
+        .select("term", "segId", "df", "cf", "maxTf", "minDl")
         .groupBy(col("term"), pmod(col("segId"), lit(cfg.saltBuckets)).as("salt"))
         .agg(sum("df").as("df"), sum("cf").as("cf"),
-          max("maxTfNorm").as("maxTfNorm"))
+          max("maxTf").as("maxTf"), min("minDl").as("minDl"))
         .groupBy("term")
         .agg(sum("df").as("df"), sum("cf").as("cf"),
-          max("maxTfNorm").as("maxTfNorm"))
+          max("maxTf").as("maxTf"), min("minDl").as("minDl"))
         .sort("term")
-        .write.mode("overwrite").parquet(s"$indexDir/$rel")
+        .write.mode("overwrite").parquet(s"$indexDir/$rel"))
     }
 
     val snap = SnapshotMeta(
-      id = snapId, parent = snapAfterStats.id, status = "segments",
-      numDocs = numDocs, sumDocLen = sumDocLen,
+      id = snapId, parent = prior.map(_.id).getOrElse(-1), status = "segments",
+      numDocs = allSegments.map(_.docs).sum,
+      sumDocLen = allSegments.map(_.sumDocLen).sum,
       numSegments = P, blockSize = blockSize,
       dataDirs = allDataDirs, termdictDir = termdictRel, segments = allSegments)
     Snapshot.commit(indexDir, snap)
@@ -214,7 +239,7 @@ object IndexBuilder {
     * (segId, term) run plus the current segment's doc-length/url tables.
     * Input must be sorted by (segId, term, docId); doc rows lead each seg. */
   private[index] def encodePartition(
-      rows: Iterator[TokRow], blockSize: Int, avgdl: Double): Iterator[PostingRow] =
+      rows: Iterator[TokRow], blockSize: Int): Iterator[PostingRow] =
     new Iterator[PostingRow] {
       private val it = rows.buffered
       private val pending = scala.collection.mutable.Queue.empty[PostingRow]
@@ -235,13 +260,13 @@ object IndexBuilder {
             urls += r.url
             sumLen += r.doclen
           }
-          pending.enqueue(PostingRow(segId, TermUrls, urls.length.toLong, 0L, 0.0,
-            Array.emptyByteArray, Varint.encodeStrings(urls),
-            Array.emptyLongArray, Array.emptyDoubleArray,
+          pending.enqueue(PostingRow(segId, TermUrls, urls.length.toLong, 0L,
+            0, 0, Array.emptyByteArray, Varint.encodeStrings(urls),
+            Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
             Array.emptyIntArray, Array.emptyIntArray))
-          PostingRow(segId, TermLens, lens.length.toLong, sumLen, 0.0,
+          PostingRow(segId, TermLens, lens.length.toLong, sumLen, 0, 0,
             Varint.encodeInts(lens), Array.emptyByteArray,
-            Array.emptyLongArray, Array.emptyDoubleArray,
+            Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
             Array.emptyIntArray, Array.emptyIntArray)
         } else {
           // consume one (segId, term) posting run
@@ -249,15 +274,18 @@ object IndexBuilder {
           val docOut = new java.io.ByteArrayOutputStream()
           val tfOut = new java.io.ByteArrayOutputStream()
           val blockLast = ArrayBuffer.empty[Long]
-          val blockMax = ArrayBuffer.empty[Double]
+          val blockMaxTf = ArrayBuffer.empty[Int]
+          val blockMinDl = ArrayBuffer.empty[Int]
           val blockDocOff = ArrayBuffer.empty[Int]
           val blockTfOff = ArrayBuffer.empty[Int]
           var prevDoc = segBase(segId)
           var inBlock = 0
           var nPostings = 0L
           var cf = 0L
-          var termMax = 0.0
-          var blockMaxV = 0.0
+          var termMaxTf = 0
+          var termMinDl = Int.MaxValue
+          var bMaxTf = 0
+          var bMinDl = Int.MaxValue
           var lastDoc = 0L
           while (it.hasNext && it.head.segId == segId && it.head.term == term) {
             val r = it.next()
@@ -269,26 +297,30 @@ object IndexBuilder {
             Varint.writeInt(tfOut, r.tf)
             prevDoc = r.docId
             lastDoc = r.docId
-            val tn = Bm25.tfNorm(r.tf, r.doclen, avgdl)
-            if (tn > blockMaxV) blockMaxV = tn
-            if (tn > termMax) termMax = tn
+            if (r.tf > bMaxTf) bMaxTf = r.tf
+            if (r.doclen < bMinDl) bMinDl = r.doclen
+            if (r.tf > termMaxTf) termMaxTf = r.tf
+            if (r.doclen < termMinDl) termMinDl = r.doclen
             cf += r.tf
             nPostings += 1
             inBlock += 1
             if (inBlock == blockSize) {
               blockLast += lastDoc
-              blockMax += blockMaxV
+              blockMaxTf += bMaxTf
+              blockMinDl += bMinDl
               inBlock = 0
-              blockMaxV = 0.0
+              bMaxTf = 0
+              bMinDl = Int.MaxValue
             }
           }
           if (inBlock > 0) {
             blockLast += lastDoc
-            blockMax += blockMaxV
+            blockMaxTf += bMaxTf
+            blockMinDl += bMinDl
           }
-          PostingRow(segId, term, nPostings, cf, termMax,
+          PostingRow(segId, term, nPostings, cf, termMaxTf, termMinDl,
             docOut.toByteArray, tfOut.toByteArray,
-            blockLast.toArray, blockMax.toArray,
+            blockLast.toArray, blockMaxTf.toArray, blockMinDl.toArray,
             blockDocOff.toArray, blockTfOff.toArray)
         }
       }

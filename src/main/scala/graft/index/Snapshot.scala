@@ -14,12 +14,13 @@ case class SegmentMeta(
     docs: Long,
     terms: Long,
     postings: Long,
+    sumDocLen: Long,
     dataDir: String)
 
-/** One committed index snapshot. `status` is "stats" after the global-stats
-  * pass (numDocs/sumDocLen pinned so a resumed build encodes block-max
-  * metadata with the identical avgdl) and "segments" once posting segments
-  * are committed. A snapshot with segments.size == numSegments is complete. */
+/** One committed index snapshot. numDocs/sumDocLen are exact integer sums
+  * over the committed segments' metadata (avgdl derives from them at query
+  * time, identically at any parallelism). A snapshot covering all
+  * numSegments segments is complete. */
 case class SnapshotMeta(
     id: Int,
     parent: Int,

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.index.Hashing
+
+/** Deduplication operators over a `(id, text)` document table: exact
+  * (hash-group), n-gram-shingle Jaccard (blocked self-join), MinHash+LSH
+  * (band-bucket candidate join + exact verify), and SimHash. The reference's
+  * only similarity machinery is the d2d/t2t LSH-blocked weighted-Jaccard
+  * self-join (mrtarget/modules/DataDrivenRelation.py:212-216,380-390); the
+  * same blocking-key equi-join shape is used here for every near-dup op. */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeper = min id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  /** Distinct word n-gram shingles of an already-space-tokenized text. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ")
+    if (toks.length < n) Array(toks.mkString(" "))
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+      .distinct.toArray
+  }
+
+  private val shinglesUdf = udf((text: String, n: Int) => shingles(text, n))
+
+  /** (id, shingle) long format, distinct per doc. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shinglesUdf(col(textCol), lit(n))).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Shape: block on shingle -> equi-join -> count intersections -> sizes
+    * join -> threshold filter. Exact (no candidate misses). At 100TB the
+    * shingle join is the Zipf-skew hotspot; the scale path is the MinHash
+    * variant below (candidate volume independent of shingle df), which is
+    * why both exist. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Per-permutation MinHash: h_i(s) = splitmix-rehash of (hash64(s), i). */
+  private def minhashOf(shingleSet: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingleSet.foreach { s =>
+      val base = Hashing.hash64(s)
+      var i = 0
+      while (i < numHashes) {
+        // splitmix64 step seeded by permutation index
+        var h = base + (i + 1) * 0x9e3779b97f4a7c15L
+        h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+        h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+        h ^= (h >>> 31)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-dup pairs: signature -> band buckets -> candidate
+    * equi-join on (band, bucket) -> exact Jaccard verify >= threshold.
+    * Approximate recall (tunable via bands x rows), exact precision (the
+    * verify step recomputes true Jaccard). Candidate volume is bounded by
+    * bucket collisions, never by shingle document frequency — the 100TB
+    * path for near-dup dedup. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigUdf = udf((text: String) => minhashOf(shingles(text, n), numHashes))
+    val sigs = docs.select(col(idCol).as("id"),
+      sigUdf(col(textCol)).as("sig"))
+
+    // band key = hash of the band's signature slice
+    val bandUdf = udf((sig: Seq[Long], band: Int) =>
+      Hashing.hash64(sig.slice(band * rows, (band + 1) * rows).mkString(",")))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", bandUdf(col("sig"), col("band")))
+      .select("id", "band", "bucket")
+
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verify on the candidate pairs only
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shA = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s")
+    val shB = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "s")
+    val inter = candidates
+      .join(shA, "id_a")
+      .join(shB, Seq("id_b", "s")) // shared shingle between the pair
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset (weighted bit-vote). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    graft.analysis.Analyzer.termFreqs(text).foreach { case (t, f) =>
+      val h = Hashing.hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += f else votes(b) -= f
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  val simhashUdf = udf((text: String) => simhash64(text))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
+    * banding the 64-bit hash into 4x16-bit keys (any pair within Hamming 3
+    * shares at least one exact 16-bit band — pigeonhole). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band scheme guarantees recall only to Hamming 3")
+    val hashed = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftrightunsigned(sh, band * 16)")
+        .bitwiseAND(lit(0xffffL)))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

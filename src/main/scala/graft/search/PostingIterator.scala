@@ -6,16 +6,20 @@ import graft.index.{IndexBuilder, PostingRow, Varint}
   * skipping. Decoding state lives per block; `shallowSeek` advances only the
   * block pointer (reading skip metadata, not postings) so block-max WAND can
   * bound scores without decompressing, and `seek` decodes lazily from the
-  * target block's byte offsets. */
+  * target block's byte offsets.
+  *
+  * Score bounds derive from the stored (maxTf, minDl) pairs: tfNorm is
+  * monotone increasing in tf and decreasing in doclen, so
+  * idf * tfNorm(maxTf, minDl, avgdl) dominates every posting they cover. */
 final class PostingIterator(
-    row: PostingRow, val idf: Double, blockSize: Int) {
+    row: PostingRow, val idf: Double, blockSize: Int, avgdl: Double) {
 
   val term: String = row.term
   private val segBase = IndexBuilder.segBase(row.segId)
   private val nBlocks = row.blockLast.length
 
   /** Upper bound of this term's contribution within this segment. */
-  val maxScore: Double = idf * row.maxTfNorm
+  val maxScore: Double = idf * Bm25.tfNorm(row.maxTf, row.minDl, avgdl)
 
   // shallow (skip-metadata) pointer
   private var blockIdx = 0
@@ -77,7 +81,8 @@ final class PostingIterator(
   /** Max possible contribution of this term for docs in the current block
     * (valid for docs <= blockLastDoc). Call after shallowSeek. */
   @inline def blockMaxScore: Double =
-    if (blockIdx >= nBlocks) 0.0 else idf * row.blockMax(blockIdx)
+    if (blockIdx >= nBlocks) 0.0
+    else idf * Bm25.tfNorm(row.blockMaxTf(blockIdx), row.blockMinDl(blockIdx), avgdl)
 
   /** Last docId covered by the current (shallow) block. */
   @inline def blockLastDoc: Long =

@@ -2,11 +2,11 @@ package graft.search
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.index.{IndexBuilder, PostingRow, Snapshot, Varint}
+import graft.index.{IndexBuilder, PostingRow, Snapshot, SnapshotMeta, Varint}
 
 final case class Hit(rank: Int, docId: Long, url: String, score: Double)
 
@@ -22,51 +22,120 @@ final case class Hit(rank: Int, docId: Long, url: String, score: Double)
   * k winners only, touching just the winning segments' url rows. */
 object Searcher {
 
-  def topK(spark: SparkSession, indexDir: String, query: String, k: Int): Array[Hit] = {
-    import spark.implicits._
-    val snap = Snapshot.latest(indexDir)
-      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
-    require(snap.isComplete, s"index incomplete: ${snap.segments.size}/${snap.numSegments}")
+  def topK(spark: SparkSession, indexDir: String, query: String, k: Int): Array[Hit] =
+    new IndexHandle(spark, indexDir, warm = false).topK(query, k)
 
+  /** DataFrame form for SparkEntry / driver smoke checks. */
+  def topKDF(spark: SparkSession, indexDir: String, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    topK(spark, indexDir, query, k).toSeq
+      .toDF("rank", "docId", "url", "score")
+  }
+}
+
+/** A queryable snapshot. With `warm = true` the posting table is
+  * re-clustered by segment and persisted in executor memory, and the term
+  * dictionary is collected to a driver map (bounded by `dictLimit`), so a
+  * steady-state query is ONE shuffle-free Spark job: filter the cached
+  * postings (predicate pushdown / in-memory batch pruning on `term`) ->
+  * per-partition WAND over the colocated segments -> global
+  * TakeOrderedAndProject. The cold path (warm = false) reads parquet
+  * directly and probes the dictionary with a pushed-down filter instead. */
+final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = true,
+    dictLimit: Long = 2000000) {
+  import spark.implicits._
+
+  val snap: SnapshotMeta = Snapshot.latest(indexDir)
+    .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+  require(snap.isComplete,
+    s"index incomplete: ${snap.segments.size}/${snap.numSegments} segments")
+
+  private val dataPaths = snap.dataDirs.map(d => s"$indexDir/$d")
+  private val avgdl = snap.avgdl
+  private val blockSize = snap.blockSize
+
+  private val termdict: DataFrame =
+    spark.read.parquet(s"$indexDir/${snap.termdictDir.get}")
+  // driver-side dictionary for warm handles on sane vocabularies
+  private val driverDict: Option[Map[String, Long]] =
+    if (warm && snap.segments.map(_.terms).sum <= dictLimit * snap.numSegments) {
+      val m = termdict.select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (m.size <= dictLimit) Some(m) else None
+    } else None
+
+  private val postings: Dataset[PostingRow] = {
+    val ds = spark.read.parquet(dataPaths: _*).as[PostingRow]
+    if (warm) {
+      // cluster by segment (query path then needs no exchange) and sort by
+      // term within partitions: the in-memory columnar cache keeps min/max
+      // stats per batch, so the per-query term filter prunes whole batches
+      // instead of decompressing every posting blob
+      val c = ds.repartition(col("segId"))
+        .sortWithinPartitions("term", "segId").cache()
+      c.count()
+      c
+    } else ds
+  }
+
+  // warm handles memoize per-segment url tables on the driver: the second
+  // per-query Spark job disappears once a segment's winners have been seen
+  private val urlCache = scala.collection.mutable.HashMap.empty[Int, Array[String]]
+
+  def close(): Unit = if (warm) postings.unpersist()
+
+  def topK(query: String, k: Int): Array[Hit] = {
     val qTerms = Analyzer.tokenize(query).distinct.sorted
     if (qTerms.isEmpty) return Array.empty
-    val dictDir = s"$indexDir/${snap.termdictDir.get}"
-    val dfByTerm = spark.read.parquet(dictDir)
-      .filter(col("term").isin(qTerms: _*))
-      .select("term", "df").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfByTerm: Map[String, Long] = driverDict match {
+      case Some(m) => qTerms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
+      case None => termdict
+        .filter(col("term").isin(qTerms: _*))
+        .select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val terms = qTerms.filter(dfByTerm.contains)
     if (terms.isEmpty) return Array.empty
 
     val idfMap = terms.map(t => t -> Bm25.idf(snap.numDocs, dfByTerm(t))).toMap
-    val dataPaths = snap.dataDirs.map(d => s"$indexDir/$d")
-    val avgdl = snap.avgdl
-    val blockSize = snap.blockSize
-    val kk = k
     val idfB = spark.sparkContext.broadcast(idfMap)
+    val kk = k
+    val avg = avgdl
+    val bs = blockSize
 
     val wanted: Seq[String] = IndexBuilder.TermLens +: terms
-    val hits = spark.read.parquet(dataPaths: _*)
-      .filter(col("term").isin(wanted: _*))
-      .as[PostingRow]
-      .groupByKey(_.segId)
-      .flatMapGroups { (segId: Int, rowsIt: Iterator[PostingRow]) =>
-        var lens: Array[Int] = null
-        val posting = ArrayBuffer.empty[PostingRow]
-        rowsIt.foreach { r =>
-          if (r.term == IndexBuilder.TermLens) lens = Varint.decodeInts(r.docBytes)
-          else posting += r
-        }
-        if (lens == null || posting.isEmpty) Iterator.empty
-        else {
-          val iters = posting.sortBy(_.term)
-            .map(r => new PostingIterator(r, idfB.value(r.term), blockSize))
-            .toArray
-          iters.foreach(_.start())
-          Wand.topK(iters, lens, IndexBuilder.segBase(segId), avgdl, kk)
-            .iterator.map(h => (h.docId, h.score, segId))
+    def wandSegments(rowsIt: Iterator[PostingRow]): Iterator[(Long, Double, Int)] = {
+      var lensFor = Map.empty[Int, Array[Int]]
+      val posting = scala.collection.mutable.LinkedHashMap
+        .empty[Int, ArrayBuffer[PostingRow]]
+      rowsIt.foreach { r =>
+        if (r.term == IndexBuilder.TermLens)
+          lensFor += r.segId -> Varint.decodeInts(r.docBytes)
+        else posting.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
+      }
+      posting.iterator.flatMap { case (segId, rows) =>
+        lensFor.get(segId) match {
+          case None => Iterator.empty
+          case Some(lens) =>
+            val iters = rows.sortBy(_.term)
+              .map(r => new PostingIterator(r, idfB.value(r.term), bs, avg))
+              .toArray
+            iters.foreach(_.start())
+            Wand.topK(iters, lens, IndexBuilder.segBase(segId), avg, kk)
+              .iterator.map(h => (h.docId, h.score, segId))
         }
       }
+    }
+    val filtered = postings.filter(col("term").isin(wanted: _*))
+    // warm: the cache is explicitly clustered by segId, so per-partition
+    // local grouping is safe and the query runs with ZERO exchanges.
+    // cold: parquet splits can fragment a segment across tasks, so group
+    // by key (the shuffle moves only the filtered posting rows).
+    val scoredDs =
+      if (warm) filtered.mapPartitions(wandSegments)
+      else filtered.groupByKey(_.segId)
+        .flatMapGroups((_: Int, it: Iterator[PostingRow]) => wandSegments(it))
+    val hits = scoredDs
       .toDF("docId", "score", "segId")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -74,28 +143,27 @@ object Searcher {
 
     if (hits.isEmpty) return Array.empty
     val winnerSegs = hits.map(_.getInt(2)).distinct.toSeq
-    val urlByDoc = spark.read.parquet(dataPaths: _*)
-      .filter(col("term") === IndexBuilder.TermUrls && col("segId").isin(winnerSegs: _*))
-      .as[PostingRow]
-      .flatMap { r =>
-        Varint.decodeStrings(r.tfBytes).iterator.zipWithIndex.map {
-          case (u, i) => (IndexBuilder.segBase(r.segId) + i + 1, u)
-        }
+    val missingSegs =
+      if (warm) urlCache.synchronized(winnerSegs.filterNot(urlCache.contains))
+      else winnerSegs
+    if (missingSegs.nonEmpty) {
+      val fetched = postings
+        .filter(col("term") === IndexBuilder.TermUrls &&
+          col("segId").isin(missingSegs: _*))
+        .collect()
+        .map(r => r.segId -> Varint.decodeStrings(r.tfBytes))
+      if (warm) urlCache.synchronized(urlCache ++= fetched)
+      else urlCache.synchronized {
+        fetched.foreach { case (s2, u) => urlCache.getOrElseUpdate(s2, u) }
       }
-      .toDF("docId", "url")
-      .filter(col("docId").isin(hits.map(_.getLong(0)).toSeq: _*))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val urlOf: (Int, Long) => String = (seg, docId) =>
+      urlCache.synchronized(urlCache(seg))(
+        (docId - IndexBuilder.segBase(seg) - 1).toInt)
 
     hits.zipWithIndex.map { case (r, i) =>
-      Hit(i + 1, r.getLong(0), urlByDoc(r.getLong(0)), r.getDouble(1))
+      Hit(i + 1, r.getLong(0), urlOf(r.getInt(2), r.getLong(0)), r.getDouble(1))
     }
-  }
-
-  /** DataFrame form for SparkEntry / driver smoke checks. */
-  def topKDF(spark: SparkSession, indexDir: String, query: String, k: Int): DataFrame = {
-    import spark.implicits._
-    topK(spark, indexDir, query, k).toSeq
-      .toDF("rank", "docId", "url", "score")
   }
 }
 

@@ -45,6 +45,16 @@ class IndexSearchSpec extends SparkSuite {
     }
   }
 
+  test("warm IndexHandle (zero-shuffle path) is rank-identical too") {
+    val handle = new graft.search.IndexHandle(spark, indexDir, warm = true)
+    try queries.take(8).foreach { q =>
+      val engine = handle.topK(q, 10)
+      val oracle = OracleSearch.topK(docs, q, 10, cfg.numSegments)
+      assert(engine.map(h => (h.docId, h.score)).toSeq ===
+        oracle.map(h => (h.docId, h.score)).toSeq, s"query: $q")
+    } finally handle.close()
+  }
+
   test("top-k at k=3 and k=50 also match") {
     Seq(3, 50).foreach { k =>
       Seq("the data", "merge sort join").foreach { q =>
@@ -72,7 +82,8 @@ class IndexSearchSpec extends SparkSuite {
     // resume: only missing segments are built, then the full commit lands
     val done = IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
     assert(done.isComplete)
-    assert(done.numDocs === partial.numDocs && done.sumDocLen === partial.sumDocLen)
+    assert(done.numDocs === 600)
+    assert(done.numDocs > partial.numDocs, "partial stats cover only built segments")
     assert(done.dataDirs.size === 2, "resume must not rewrite committed segments")
     // resumed index answers identically to the one-shot index
     Seq("the data", "merge sort join", "w500x").foreach { q =>

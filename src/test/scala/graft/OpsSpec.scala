@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, TextOps}
+
+/** TextOps + Multimodal plumbing checks. */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("langId votes stopwords and falls back to und") {
+    val df = Seq(
+      (1L, "the cat and the hat of a dog is here"),
+      (2L, "el gato y la casa de es aqui"),
+      (3L, "der hund und die katze ist das"),
+      (4L, "xyzzy plugh quux"),
+      (5L, "de la") // es/fr tie -> und
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.langIdExpr(split(col("text"), " ")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "de")
+    assert(got(4L) === "und")
+    assert(got(5L) === "und")
+  }
+
+  test("quality features are exact on a known doc") {
+    val df = Seq((1L, "aa bb aa cc")).toDF("id", "text")
+    val r = TextOps.qualityFeatures(df, "id", "text").head()
+    assert(r.getInt(1) === 4) // n_tokens
+    assert(r.getInt(2) === 3) // n_distinct
+    assert(r.getDouble(3) === 0.75) // ttr
+    assert(r.getDouble(4) === 2.0) // avg token len
+    assert(r.getInt(5) === 11) // bytes
+  }
+
+  test("rolling hash: deterministic, shift-sensitive") {
+    val h1 = TextOps.rollingHash("the quick brown fox jumps over")
+    assert(h1 === TextOps.rollingHash("the quick brown fox jumps over"))
+    assert(h1 !== TextOps.rollingHash("the quick brown fox jumps ovex"))
+    assert(TextOps.rollingHash("") === 0L)
+  }
+
+  test("multimodal stub: binary transport round-trips deterministic features") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text").as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).n_bytes === 11)
+    assert(feats(1L).head_byte === 'h'.toInt)
+    assert(feats(1L).width === 11 && feats(1L).height === 77)
+    assert(feats(2L).n_bytes === 0 && feats(2L).head_byte === 0)
+    // repeat run = identical checksums (pure function of bytes)
+    val again = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.id -> f.checksum).toMap
+    assert(again(1L) === feats(1L).checksum)
+  }
+
+  test("fingerprint expression equals Analyzer-free sorted token set") {
+    val df = Seq((1L, "b a b c a")).toDF("id", "text")
+    val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp === expected)
+  }
+}
