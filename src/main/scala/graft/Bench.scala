@@ -107,12 +107,21 @@ object Bench {
     }.sorted
     val p50 = lat(lat.length / 2)
     val p95 = lat(math.min((lat.length * 95) / 100, lat.length - 1))
+    // hot-serving path (driver-memoized postings, rank-identical)
+    benchQueries.foreach(q => handle.servedTopK(q, 10)) // populate caches
+    val slat = benchQueries.map { q =>
+      val t0 = System.nanoTime()
+      handle.servedTopK(q, 10)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val sp50 = slat(slat.length / 2)
+    val sp95 = slat(math.min((slat.length * 95) / 100, slat.length - 1))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f}""")
     spark.stop()
     // free the tmpfs space
     scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexConfig}
+import graft.functions.Scoring
 import graft.ops.{Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
 import graft.search.Searcher
 
@@ -202,6 +203,31 @@ object SparkEntry {
           col("height").cast("long").as("height"))
     }),
 
+    // ---- reference scalar score transforms (SURVEY §2.7) ----
+    "q27_score_transform" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        round(Scoring.pValueToScoreExpr(col("value") / lit(1000.0)), 6).as("pv_score"),
+        round(Scoring.renormalizeExpr(col("value"), (0.0, 500.0), (0.0, 1.0)), 6)
+          .as("norm_score"),
+        Scoring.sigmoidScalingExpr(col("value")).as("sigmoid"))),
+
+    // ---- A3 hierarchy: datasource -> datatype -> overall harmonic rollup ----
+    "q28_harmonic_hierarchy" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("datatype",
+          when(col("event_type").isin("click", "view"), "web")
+            .when(col("event_type") === "purchase", "commerce")
+            .otherwise("account"))
+        .withColumn("sc", col("value") / lit(500.0))
+      val ds = e.groupBy("user_id", "datatype", "event_type")
+        .agg(least(lit(1.0), HarmonicSum.column(100, 2.0)(col("sc"))).as("ds_score"))
+      val dt = ds.groupBy("user_id", "datatype")
+        .agg(HarmonicSum.column(100, 2.0)(col("ds_score")).as("dt_score"))
+      dt.groupBy("user_id")
+        .agg(round(least(lit(1.0), HarmonicSum.column(100, 2.0)(col("dt_score"))), 6)
+          .as("overall"))
+    }),
+
     // ---- the fulltext engine itself ----
     "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d))
   )
@@ -362,6 +388,38 @@ object SparkEntry {
            strlen(text) % 640 AS width,
            (strlen(text) * 7) % 480 AS height
          FROM documents""",
+    "q27_score_transform" ->
+      """SELECT event_id,
+           round(LEAST(1.0, GREATEST(0.0,
+             (1.0 * (log10(value/1000.0) - 0.0)) / (-10.0) + 0.0)), 6) AS pv_score,
+           round(LEAST(1.0, GREATEST(0.0,
+             (1.0 * (value - 0.0)) / 500.0 + 0.0)), 6) AS norm_score,
+           round(2.0 / (1.0 + exp(0.01 * (value - 1.0))), 3) AS sigmoid
+         FROM events""",
+    "q28_harmonic_hierarchy" ->
+      """WITH scored AS (
+           SELECT user_id, event_id, event_type,
+                  CASE WHEN event_type IN ('click','view') THEN 'web'
+                       WHEN event_type='purchase' THEN 'commerce'
+                       ELSE 'account' END AS datatype,
+                  value/500.0 AS sc
+           FROM events),
+         r1 AS (SELECT user_id, datatype, event_type, sc,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY sc DESC, event_id) AS rn FROM scored),
+         ds AS (SELECT user_id, datatype, event_type,
+                  LEAST(1.0, sum(sc/pow(rn,2))) AS ds_score
+                FROM r1 WHERE rn <= 100 GROUP BY 1,2,3),
+         r2 AS (SELECT user_id, datatype, ds_score,
+                  row_number() OVER (PARTITION BY user_id, datatype
+                    ORDER BY ds_score DESC, event_type) AS rn FROM ds),
+         dt AS (SELECT user_id, datatype, sum(ds_score/pow(rn,2)) AS dt_score
+                FROM r2 WHERE rn <= 100 GROUP BY 1,2),
+         r3 AS (SELECT user_id, dt_score,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY dt_score DESC, datatype) AS rn FROM dt)
+         SELECT user_id, round(LEAST(1.0, sum(dt_score/pow(rn,2))),6) AS overall
+         FROM r3 WHERE rn <= 100 GROUP BY 1""",
     "q21_bm25_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                         FROM documents),

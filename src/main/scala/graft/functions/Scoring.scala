@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar scoring transforms, float-exact
+  * (goldens from /root/reference/tests/test_score.py pinned in ScoringSpec):
+  *
+  *  - renormalize: linear rescale between ranges with optional cap
+  *    (mrtarget/common/EvidenceString.py:37-61)
+  *  - pValueToScoreLinear: log10 rescale of p-values
+  *    (mrtarget/common/EvidenceString.py:713-725)
+  *  - sigmoidScaling: 2 / (1 + e^((v - 1)/mid)), rounded half-even
+  *    (mrtarget/common/Scoring.py:86-90)
+  *
+  * Each exists both as a plain Scala function (oracle/tests) and as a
+  * Column expression (codegen, no UDF) with the identical operation order.
+  */
+object Scoring {
+
+  def renormalize(n: Double, startRange: (Double, Double),
+      newRange: (Double, Double), cap: Boolean = true): Double = {
+    val delta1 = startRange._2 - startRange._1
+    val delta2 = newRange._2 - newRange._1
+    val normalized =
+      if (delta1 != 0.0 || delta2 != 0.0) {
+        if (delta1 == 0.0) newRange._1
+        else delta2 * (n - startRange._1) / delta1 + newRange._1
+      } else n
+    if (cap) {
+      val hi = math.max(newRange._1, newRange._2)
+      val lo = math.min(newRange._1, newRange._2)
+      if (normalized > hi) hi else if (normalized < lo) lo else normalized
+    } else normalized
+  }
+
+  /** Column form; ranges are literals like the reference's per-datasource
+    * config, so the expression constant-folds. */
+  def renormalizeExpr(n: Column, startRange: (Double, Double),
+      newRange: (Double, Double), cap: Boolean = true): Column = {
+    val delta1 = startRange._2 - startRange._1
+    val delta2 = newRange._2 - newRange._1
+    val normalized =
+      if (delta1 != 0.0 || delta2 != 0.0) {
+        if (delta1 == 0.0) lit(newRange._1)
+        else lit(delta2) * (n - lit(startRange._1)) / lit(delta1) + lit(newRange._1)
+      } else n
+    if (cap)
+      least(lit(math.max(newRange._1, newRange._2)),
+        greatest(lit(math.min(newRange._1, newRange._2)), normalized))
+    else normalized
+  }
+
+  def pValueToScoreLinear(pvalue: Double, rangeMin: Double = 1.0,
+      rangeMax: Double = 1e-10, outMin: Double = 0.0, outMax: Double = 1.0): Double = {
+    def log(n: Double) = if (n > 0) math.log10(n) else math.log10(rangeMax)
+    renormalize(log(pvalue), (log(rangeMin), log(rangeMax)), (outMin, outMax))
+  }
+
+  def pValueToScoreExpr(pvalue: Column, rangeMin: Double = 1.0,
+      rangeMax: Double = 1e-10, outMin: Double = 0.0, outMax: Double = 1.0): Column =
+    renormalizeExpr(
+      when(pvalue > 0, log10(pvalue)).otherwise(lit(math.log10(rangeMax))),
+      (math.log10(rangeMin), math.log10(rangeMax)), (outMin, outMax))
+
+  /** numpy-compatible half-even rounding to `precision` decimals. */
+  private def roundHalfEven(v: Double, precision: Int): Double =
+    BigDecimal(v).setScale(precision, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  def sigmoidScaling(value: Double, midValue: Double = 100.0, precision: Int = 3): Double =
+    roundHalfEven(2.0 / (1.0 + math.exp(1.0 / midValue * (value - 1.0))), precision)
+
+  /** bround = HALF_EVEN, matching numpy's rounding in the reference. */
+  def sigmoidScalingExpr(value: Column, midValue: Double = 100.0, precision: Int = 3): Column =
+    bround(lit(2.0) / (lit(1.0) + exp(lit(1.0 / midValue) * (value - lit(1.0)))), precision)
+
+  /** Content-addressed document id: md5 of the canonical (sorted-key) JSON,
+    * as the reference derives evidence ids (mrtarget/modules/Evidences.py:
+    * 127-132). Field order is pinned by the struct schema. */
+  def canonicalId(cols: Column*): Column = md5(to_json(struct(cols: _*)))
+}

@@ -82,6 +82,91 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   // per-query Spark job disappears once a segment's winners have been seen
   private val urlCache = scala.collection.mutable.HashMap.empty[Int, Array[String]]
 
+  // served path: hot posting rows + doc-length tables memoized on the
+  // driver (bounded LRU), so repeated-term queries never touch the cluster
+  // — the role the reference's LRU-cached ES lookups play
+  // (mrtarget/common/LookupTables.py:54-142). Cold terms cost one filtered
+  // Spark fetch; everything after is local WAND over all segments.
+  private val servedTermCap = 10000
+  private val postingCache =
+    new java.util.LinkedHashMap[String, Array[PostingRow]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[PostingRow]]): Boolean =
+        size() > servedTermCap
+    }
+  private var lensCache: Map[Int, Array[Int]] = null
+
+  private def fetchLens(): Map[Int, Array[Int]] = synchronized {
+    if (lensCache == null)
+      lensCache = postings.filter(col("term") === IndexBuilder.TermLens)
+        .collect().map(r => r.segId -> Varint.decodeInts(r.docBytes)).toMap
+    lensCache
+  }
+
+  private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] =
+    synchronized {
+      val missing = terms.filterNot(postingCache.containsKey)
+      if (missing.nonEmpty)
+        postings.filter(col("term").isin(missing: _*)).collect()
+          .groupBy(_.term)
+          .foreach { case (t, rows) => postingCache.put(t, rows) }
+      terms.iterator
+        .map(t => t -> Option(postingCache.get(t)).getOrElse(Array.empty[PostingRow]))
+        .toMap
+    }
+
+  /** Hot-serving top-k: rank-identical to `topK` (same Wand/Bm25 code, same
+    * ascending-term evaluation, same (score desc, docId asc) merge), but
+    * segments are scored sequentially on the driver from memoized postings. */
+  def servedTopK(query: String, k: Int): Array[Hit] = {
+    val qTerms = Analyzer.tokenize(query).distinct.sorted
+    if (qTerms.isEmpty) return Array.empty
+    val dfByTerm: Map[String, Long] = driverDict match {
+      case Some(m) => qTerms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
+      case None => termdict.filter(col("term").isin(qTerms: _*))
+        .select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val terms = qTerms.filter(dfByTerm.contains)
+    if (terms.isEmpty) return Array.empty
+    val idfMap = terms.map(t => t -> Bm25.idf(snap.numDocs, dfByTerm(t))).toMap
+    val lens = fetchLens()
+    val rowsByTerm = fetchPostings(terms)
+
+    val bySeg = scala.collection.mutable.LinkedHashMap.empty[Int, ArrayBuffer[PostingRow]]
+    terms.foreach { t =>
+      rowsByTerm(t).foreach(r => bySeg.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r)
+    }
+    val hits = bySeg.iterator.flatMap { case (segId, rows) =>
+      lens.get(segId) match {
+        case None => Iterator.empty
+        case Some(l) =>
+          val iters = rows.sortBy(_.term)
+            .map(r => new PostingIterator(r, idfMap(r.term), blockSize, avgdl))
+            .toArray
+          iters.foreach(_.start())
+          Wand.topK(iters, l, IndexBuilder.segBase(segId), avgdl, k).iterator
+            .map(h => (h.docId, h.score, segId))
+      }
+    }.toArray
+    val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)
+    if (top.isEmpty) return Array.empty
+    val missingSegs = urlCache.synchronized(
+      top.map(_._3).distinct.toSeq.filterNot(urlCache.contains))
+    if (missingSegs.nonEmpty) {
+      val fetched = postings
+        .filter(col("term") === IndexBuilder.TermUrls &&
+          col("segId").isin(missingSegs: _*))
+        .collect().map(r => r.segId -> Varint.decodeStrings(r.tfBytes))
+      urlCache.synchronized(urlCache ++= fetched)
+    }
+    top.zipWithIndex.map { case ((docId, score, seg), i) =>
+      val url = urlCache.synchronized(urlCache(seg))(
+        (docId - IndexBuilder.segBase(seg) - 1).toInt)
+      Hit(i + 1, docId, url, score)
+    }
+  }
+
   def close(): Unit = if (warm) postings.unpersist()
 
   def topK(query: String, k: Int): Array[Hit] = {

@@ -55,6 +55,16 @@ class IndexSearchSpec extends SparkSuite {
     } finally handle.close()
   }
 
+  test("served (driver-hot) path is rank-identical, including cache hits") {
+    val handle = new graft.search.IndexHandle(spark, indexDir, warm = true)
+    try (queries.take(8) ++ queries.take(8)).foreach { q => // second pass = hot
+      val engine = handle.servedTopK(q, 10)
+      val oracle = OracleSearch.topK(docs, q, 10, cfg.numSegments)
+      assert(engine.map(h => (h.docId, h.url, h.score)).toSeq ===
+        oracle.map(h => (h.docId, h.url, h.score)).toSeq, s"query: $q")
+    } finally handle.close()
+  }
+
   test("top-k at k=3 and k=50 also match") {
     Seq(3, 50).foreach { k =>
       Seq("the data", "merge sort join").foreach { q =>
