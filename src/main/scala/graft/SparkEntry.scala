@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexConfig}
 import graft.functions.Scoring
-import graft.ops.{Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
+import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
 import graft.search.Searcher
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -228,6 +228,11 @@ object SparkEntry {
           .as("overall"))
     }),
 
+    // ---- reference d2d similarity self-join (J9 exact semantics) ----
+    "q29_d2d_relation" -> ((s, d) =>
+      DataDrivenRelation.weightedOverlapPairs(
+        t(s, d, "documents").filter(col("doc_id") < 500), "doc_id", "text", 0.9)),
+
     // ---- the fulltext engine itself ----
     "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d))
   )
@@ -420,6 +425,21 @@ object SparkEntry {
                     ORDER BY dt_score DESC, datatype) AS rn FROM dt)
          SELECT user_id, round(LEAST(1.0, sum(dt_score/pow(rn,2))),6) AS overall
          FROM r3 WHERE rn <= 100 GROUP BY 1""",
+    "q29_d2d_relation" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM d),
+         nn AS (SELECT count(*) AS n FROM d),
+         w AS (SELECT tok, count(*)*1.0/(SELECT n FROM nn) AS w FROM toks GROUP BY 1),
+         tw AS (SELECT doc_id, toks.tok, w.w FROM toks JOIN w ON toks.tok = w.tok),
+         sums AS (SELECT doc_id, sum(w) AS ws FROM tw GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS iw
+                   FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1,2)
+         SELECT id_a, id_b,
+                round(sqrt(iw/(sa.ws + sb.ws - iw)), 6) AS sim
+         FROM inter JOIN sums sa ON sa.doc_id = id_a
+                    JOIN sums sb ON sb.doc_id = id_b
+         WHERE round(sqrt(iw/(sa.ws + sb.ws - iw)), 6) >= 0.9""",
     "q21_bm25_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                         FROM documents),

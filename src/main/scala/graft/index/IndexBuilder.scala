@@ -325,4 +325,36 @@ object IndexBuilder {
         }
       }
     }
+
+
+  /** Segment compaction — the engine's analogue of the reference's
+    * post-load forcemerge to one segment (mrtarget/common/esutil.py:96-101).
+    * A resumed build accumulates one data dir per attempt; compaction
+    * rewrites all committed posting rows into a single dir (re-clustered
+    * one-segment-per-task, term-sorted for Parquet rowgroup pruning) and
+    * commits a snapshot referencing only it. Old dirs stay on disk and
+    * unreferenced (snapshot isolation); callers may vacuum separately. */
+  def compact(spark: SparkSession, indexDir: String): SnapshotMeta = {
+    import spark.implicits._
+    val snap = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    require(snap.isComplete, "compact requires a complete index")
+    if (snap.dataDirs.size == 1) return snap
+    val P = snap.numSegments
+    val newId = snap.id + 1
+    val rel = f"data/compact-$newId%05d"
+    spark.read.parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .as[PostingRow]
+      .withColumn("part", element_at(lit(bijectionKeys(P)), col("segId") + 1))
+      .repartition(P, col("part"))
+      .drop("part")
+      .sortWithinPartitions("segId", "term")
+      .write.mode("overwrite").parquet(s"$indexDir/$rel")
+    val compacted = snap.copy(
+      id = newId, parent = snap.id,
+      dataDirs = Seq(rel),
+      segments = snap.segments.map(_.copy(dataDir = rel)))
+    Snapshot.commit(indexDir, compacted)
+    compacted
+  }
 }

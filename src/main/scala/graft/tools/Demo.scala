@@ -29,8 +29,18 @@ object Demo {
     val pages = Corpus.pages(spark, nDocs, seed = 42).cache()
     println(s"[demo] corpus: $nDocs pages, building index under $dir")
     val t0 = System.nanoTime()
-    val snap = IndexBuilder.build(spark, pages.toDF(), dir,
-      IndexConfig(numSegments = 8, blockSize = 64))
+    val cfg = IndexConfig(numSegments = 8, blockSize = 64)
+    val snap = if (sys.env.contains("GRAFT_DEMO_RESUME_COMPACT")) {
+      // exercise the interrupted-build -> resume -> forcemerge lifecycle
+      val partial = IndexBuilder.build(spark, pages.toDF(), dir, cfg,
+        simulateOnlySegments = Some(Set(0, 1, 2)))
+      println(s"[demo] partial snapshot ${partial.id}: segments=${partial.completedSegIds.toSeq.sorted.mkString(",")}")
+      val resumed = IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
+      println(s"[demo] resumed snapshot ${resumed.id}: dataDirs=${resumed.dataDirs.size}")
+      val merged = IndexBuilder.compact(spark, dir)
+      println(s"[demo] compacted snapshot ${merged.id}: dataDirs=${merged.dataDirs.size}")
+      merged
+    } else IndexBuilder.build(spark, pages.toDF(), dir, cfg)
     val buildSec = (System.nanoTime() - t0) / 1e9
     println(f"[demo] built snapshot ${snap.id}: ${snap.numDocs} docs, " +
       f"${snap.segments.map(_.postings).sum} postings, $buildSec%.2f s " +

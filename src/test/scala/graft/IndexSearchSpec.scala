@@ -106,6 +106,24 @@ class IndexSearchSpec extends SparkSuite {
     assert(again.id === done.id)
   }
 
+  test("compaction (forcemerge analogue) folds resume dirs, answers unchanged") {
+    val dir = Files.createTempDirectory("graft-idx-compact").toString
+    IndexBuilder.build(spark, pages.toDF(), dir, cfg,
+      simulateOnlySegments = Some(Set(0, 1, 2)))
+    IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
+    assert(Snapshot.latest(dir).get.dataDirs.size === 2)
+    val compacted = IndexBuilder.compact(spark, dir)
+    assert(compacted.dataDirs.size === 1)
+    assert(Snapshot.latest(dir).get.id === compacted.id)
+    Seq("the data", "merge sort join", "w500x").foreach { q =>
+      val a = Searcher.topK(spark, indexDir, q, 10).toSeq
+      val b = Searcher.topK(spark, dir, q, 10).toSeq
+      assert(a === b, s"query: $q")
+    }
+    // idempotent
+    assert(IndexBuilder.compact(spark, dir).id === compacted.id)
+  }
+
   test("index bytes are independent of input partitioning") {
     def canon(dir: String): Seq[(Int, String, Long, Long, String, String)] = {
       val snap = Snapshot.latest(dir).get
