@@ -228,6 +228,36 @@ object SparkEntry {
           .as("overall"))
     }),
 
+    // ---- ontology-ancestor propagation (A2 shape: explode ancestors) ----
+    "q30_ontology_rollup" -> ((s, d) => {
+      val geo = t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+      t(s, d, "orders").join(broadcast(geo), col("o_custkey") === col("c_custkey"))
+        .select(col("o_totalprice"),
+          explode(array(col("n_name"), col("r_name"), lit("ROOT"))).as("ancestor"))
+        .groupBy("ancestor")
+        .agg(round(sum("o_totalprice"), 2).as("rev"), count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- ngram suggest (reference edgeNGram_filter: ES ngram 4..10) ----
+    "q31_suggest" -> ((s, d) => {
+      val grams = Seq("data", "spar", "merg", "tabl", "wind")
+      val ngUdf = udf((term: String) =>
+        graft.analysis.Analyzer.ngrams(term).distinct)
+      val terms = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cf"))
+      val matched = terms
+        .select(col("term"), col("cf"), explode(ngUdf(col("term"))).as("g"))
+        .filter(col("g").isin(grams: _*))
+      val w = Window.partitionBy(col("g")).orderBy(col("cf").desc, col("term").asc)
+      matched.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("g", "term", "cf", "rn")
+    }),
+
     // ---- reference d2d similarity self-join (J9 exact semantics) ----
     "q29_d2d_relation" -> ((s, d) =>
       DataDrivenRelation.weightedOverlapPairs(
@@ -425,6 +455,24 @@ object SparkEntry {
                     ORDER BY dt_score DESC, datatype) AS rn FROM dt)
          SELECT user_id, round(LEAST(1.0, sum(dt_score/pow(rn,2))),6) AS overall
          FROM r3 WHERE rn <= 100 GROUP BY 1""",
+    "q30_ontology_rollup" ->
+      """SELECT ancestor, round(sum(o_totalprice),2) AS rev, count(*) AS n_orders
+         FROM (SELECT o_totalprice, unnest([n_name, r_name, 'ROOT']) AS ancestor
+               FROM orders JOIN customer ON o_custkey=c_custkey
+               JOIN nation ON c_nationkey=n_nationkey
+               JOIN region ON n_regionkey=r_regionkey)
+         GROUP BY 1""",
+    "q31_suggest" ->
+      """WITH terms AS (SELECT term, count(*) AS cf FROM
+           (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+           GROUP BY 1),
+         m AS (SELECT p.g, t.term, t.cf FROM terms t
+               JOIN (VALUES ('data'),('spar'),('merg'),('tabl'),('wind')) p(g)
+                 ON contains(t.term, p.g)),
+         r AS (SELECT g, term, cf,
+                 row_number() OVER (PARTITION BY g ORDER BY cf DESC, term) AS rn
+               FROM m)
+         SELECT g, term, cf, rn FROM r WHERE rn <= 3""",
     "q29_d2d_relation" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
          toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM d),

@@ -87,6 +87,26 @@ object Analyzer extends Serializable {
     m.toMap
   }
 
+  /** The reference's "edgeNGram_filter" — despite its name an ES `ngram`
+    * filter with min_gram=4, max_gram=10 (sea_settings.json:11-21): every
+    * substring of length 4..10 of every analyzed token, used for the
+    * autocomplete/suggest fields. */
+  def ngrams(text: String, minGram: Int = 4, maxGram: Int = 10): Array[String] = {
+    val out = new ArrayBuffer[String]()
+    tokenize(text).foreach { tok =>
+      var len = minGram
+      while (len <= maxGram) {
+        var i = 0
+        while (i + len <= tok.length) {
+          out += tok.substring(i, i + len)
+          i += 1
+        }
+        len += 1
+      }
+    }
+    out.toArray
+  }
+
   /** "onechunk"/fingerprint analyzer of the reference (gen_settings.json:36-44):
     * keyword tokenizer -> lowercase -> fingerprint (sorted unique tokens). */
   def fingerprint(text: String): String =

@@ -69,6 +69,26 @@ object Snapshot {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** QC metric diff between two snapshots (the reference's release-over-
+    * release QCMetrics.compare_with, mrtarget/modules/QC.py:73-126): one row
+    * per (segId, metric) whose value changed, plus added/removed segments. */
+  def metricsDiff(old: SnapshotMeta, neu: SnapshotMeta): Seq[(Int, String, Long, Long)] = {
+    val a = old.segments.map(m => m.segId -> m).toMap
+    val b = neu.segments.map(m => m.segId -> m).toMap
+    (a.keySet ++ b.keySet).toSeq.sorted.flatMap { seg =>
+      (a.get(seg), b.get(seg)) match {
+        case (None, Some(m)) => Seq((seg, "added", 0L, m.docs))
+        case (Some(m), None) => Seq((seg, "removed", m.docs, 0L))
+        case (Some(x), Some(y)) =>
+          Seq(("docs", x.docs, y.docs), ("terms", x.terms, y.terms),
+            ("postings", x.postings, y.postings),
+            ("sumDocLen", x.sumDocLen, y.sumDocLen))
+            .collect { case (n, va, vb) if va != vb => (seg, n, va, vb) }
+        case _ => Nil
+      }
+    }
+  }
+
   def latest(indexDir: String): Option[SnapshotMeta] = {
     val ptr = snapsDir(indexDir).resolve("LATEST")
     if (!Files.exists(ptr)) None

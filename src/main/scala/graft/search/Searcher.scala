@@ -1,6 +1,7 @@
 package graft.search
 
 import scala.collection.mutable.ArrayBuffer
+import scala.collection.parallel.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,18 +138,20 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     terms.foreach { t =>
       rowsByTerm(t).foreach(r => bySeg.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r)
     }
-    val hits = bySeg.iterator.flatMap { case (segId, rows) =>
+    // segments score independently; parallelize across driver cores (the
+    // per-segment WAND state is private; merge order is pinned afterwards)
+    val hits = bySeg.toSeq.par.flatMap { case (segId, rows) =>
       lens.get(segId) match {
-        case None => Iterator.empty
+        case None => Seq.empty
         case Some(l) =>
           val iters = rows.sortBy(_.term)
             .map(r => new PostingIterator(r, idfMap(r.term), blockSize, avgdl))
             .toArray
           iters.foreach(_.start())
-          Wand.topK(iters, l, IndexBuilder.segBase(segId), avgdl, k).iterator
+          Wand.topK(iters, l, IndexBuilder.segBase(segId), avgdl, k).toSeq
             .map(h => (h.docId, h.score, segId))
       }
-    }.toArray
+    }.seq.toArray
     val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)
     if (top.isEmpty) return Array.empty
     val missingSegs = urlCache.synchronized(

@@ -46,6 +46,17 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(tf("fi") === 1)
   }
 
+  test("ngram filter (reference edgeNGram_filter: ES ngram 4..10)") {
+    val g = Analyzer.ngrams("Data-Tables x").toSeq
+    assert(g.contains("data"))       // 4-gram at position 0
+    assert(g.contains("able"))       // interior 4-gram
+    assert(g.contains("tables"))     // full 6-char token
+    assert(!g.contains("data-tables")) // 11 chars: only its 4..10-grams emit
+    assert(g.contains("ata-tables"))   // 10-gram spanning the hyphen
+    assert(!g.contains("x"))           // below min_gram
+    assert(g.forall(x => x.length >= 4 && x.length <= 10))
+  }
+
   test("fingerprint analyzer: sorted unique tokens") {
     assert(Analyzer.fingerprint("b a b A c") === "a b c")
   }

@@ -139,6 +139,17 @@ class IndexSearchSpec extends SparkSuite {
     assert(canon(indexDir) === canon(dir2))
   }
 
+  test("snapshot metrics diff (QC) reports only real deltas") {
+    val dir = Files.createTempDirectory("graft-idx-qc").toString
+    val partial = IndexBuilder.build(spark, pages.toDF(), dir, cfg,
+      simulateOnlySegments = Some(Set(0, 1)))
+    val full = IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
+    val diff = Snapshot.metricsDiff(partial, full)
+    assert(diff.forall(_._2 == "added"), diff.take(3).toString)
+    assert(diff.map(_._1).toSet === (2 until cfg.numSegments).toSet)
+    assert(Snapshot.metricsDiff(full, full).isEmpty)
+  }
+
   test("per-segment lineage metrics are consistent") {
     val snap = Snapshot.latest(indexDir).get
     assert(snap.segments.map(_.docs).sum === 600)
