@@ -37,6 +37,8 @@ object Demo {
       println(s"[demo] partial snapshot ${partial.id}: segments=${partial.completedSegIds.toSeq.sorted.mkString(",")}")
       val resumed = IndexBuilder.build(spark, pages.toDF(), dir, cfg, resume = true)
       println(s"[demo] resumed snapshot ${resumed.id}: dataDirs=${resumed.dataDirs.size}")
+      val qc = Snapshot.metricsDiff(partial, resumed)
+      println(s"[demo] QC diff partial->resumed: ${qc.size} deltas, e.g. ${qc.take(2).mkString("; ")}")
       val merged = IndexBuilder.compact(spark, dir)
       println(s"[demo] compacted snapshot ${merged.id}: dataDirs=${merged.dataDirs.size}")
       merged
