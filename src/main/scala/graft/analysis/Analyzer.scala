@@ -111,4 +111,37 @@ object Analyzer extends Serializable {
     * keyword tokenizer -> lowercase -> fingerprint (sorted unique tokens). */
   def fingerprint(text: String): String =
     tokenize(text).distinct.sorted.mkString(" ")
+
+  // ---- Catalyst-facing entry points (called from generated code) ----
+
+  /** termFreqs straight to Catalyst MapData, avoiding the Scala-UDF
+    * row-conversion layer (used by TermFreqsExpr.doGenCode). */
+  def termFreqsCatalyst(
+      text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val toks = tokenize(if (text == null) "" else text.toString)
+    val m = new java.util.LinkedHashMap[String, Int](toks.length)
+    toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+      vals(i) = e.getValue
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+  }
+
+  /** tokenize straight to Catalyst ArrayData (used by TokenizeExpr). */
+  def tokenizeCatalyst(
+      text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(if (text == null) "" else text.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)
+        .asInstanceOf[Any]))
+  }
 }

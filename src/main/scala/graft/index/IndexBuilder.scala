@@ -130,7 +130,6 @@ object IndexBuilder {
     }
 
     val P = cfg.numSegments
-    val tfMapUdf = udf((text: String) => Analyzer.termFreqs(text))
     val segUdf = udf((url: String) => Hashing.segmentOf(url, P))
 
     // build only the missing segments (resume = pure segment pruning; no
@@ -165,7 +164,7 @@ object IndexBuilder {
         row_number().over(Window.partitionBy(col("part")).orderBy(col("url"))))
       .withColumn("docId",
         shiftleft(col("segId").cast("long"), SegShift) + col("rank"))
-      .withColumn("tfmap", tfMapUdf(col("text")))
+      .withColumn("tfmap", graft.plans.GraftFunctions.term_freqs(col("text")))
       .withColumn("doclen",
         aggregate(map_values(col("tfmap")), lit(0), (acc, x) => acc + x))
       .select(col("segId"), col("docId"), col("doclen"), col("url"),
