@@ -234,6 +234,16 @@ object IndexBuilder {
     snap
   }
 
+  /** Test hooks: synthesize a single (segId, term) posting run and run it
+    * through the real streaming encoder (used by differential fuzz specs). */
+  def TokRowsForTest(segId: Int, term: String, docIds: Array[Long],
+      tfs: Array[Int], lens: Array[Int]): Iterator[TokRow] =
+    docIds.indices.iterator.map(i =>
+      TokRow(segId, term, docIds(i), tfs(i), lens(i), null))
+
+  def encodeForTest(rows: Iterator[TokRow], blockSize: Int): PostingRow =
+    encodePartition(rows, blockSize).toSeq.find(_.term > TermUrls).get
+
   /** Lazily encode one sorted partition: memory is bounded by a single
     * (segId, term) run plus the current segment's doc-length/url tables.
     * Input must be sorted by (segId, term, docId); doc rows lead each seg. */
