@@ -41,6 +41,47 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * deterministic fake rescales the fake dimensions and subsamples bytes
+    * so output size tracks the scale factor (plumbing + schema real). */
+  def resizeStub(r: MediaRow, targetW: Int): MediaRow = {
+    val f = decodeStub(r)
+    val scale = if (f.width <= 0) 1.0 else targetW.toDouble / f.width
+    val outLen = math.max(1, math.min(r.media.length,
+      math.round(r.media.length * scale).toInt))
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = r.media((i.toLong * r.media.length / outLen).toInt)
+      i += 1
+    }
+    MediaRow(r.id, r.kind, out)
+  }
+
+  /** STUB frame sampling: treats the payload as `n` fixed-size frames and
+    * emits every `stride`-th frame as its own row — the shape of video
+    * frame extraction (one input row -> many frame rows), deterministic. */
+  def sampleFramesStub(r: MediaRow, frameBytes: Int, stride: Int): Seq[MediaRow] = {
+    val nFrames = math.max(1, r.media.length / math.max(1, frameBytes))
+    (0 until nFrames by math.max(1, stride)).map { f =>
+      val from = f * frameBytes
+      val until = math.min(r.media.length, from + frameBytes)
+      MediaRow(r.id * 1000000L + f, s"${r.kind};frame=$f",
+        java.util.Arrays.copyOfRange(r.media, from, until))
+    }
+  }
+
+  def resize(spark: SparkSession, media: Dataset[MediaRow], targetW: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(resizeStub(_, targetW)))
+  }
+
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      frameBytes: Int, stride: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(sampleFramesStub(_, frameBytes, stride)))
+  }
+
   /** Lift any (id, text) table into a media table (utf-8 bytes as the
     * opaque payload) — used to exercise the plumbing without real media. */
   def fromText(docs: DataFrame, idCol: String, textCol: String,

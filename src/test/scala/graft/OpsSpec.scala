@@ -57,6 +57,20 @@ class OpsSpec extends SparkSuite {
     assert(again(1L) === feats(1L).checksum)
   }
 
+  test("multimodal resize/frame-sample stubs: deterministic shapes") {
+    val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text").as[Multimodal.MediaRow]
+    val resized = Multimodal.resize(spark, media, 50).collect().head
+    assert(resized.media.length === 50) // width 100 -> 50 halves the bytes
+    val frames = Multimodal.sampleFrames(spark, media, 16, 2).collect()
+    assert(frames.length === 3) // frames 0,2,4 of 6
+    assert(frames.map(_.media.length).toSeq === Seq(16, 16, 16))
+    assert(frames.map(_.kind).forall(_.startsWith("text/plain;frame=")))
+    // determinism
+    val again = Multimodal.sampleFrames(spark, media, 16, 2).collect()
+    assert(frames.map(_.media.toSeq).toSeq === again.map(_.media.toSeq).toSeq)
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
