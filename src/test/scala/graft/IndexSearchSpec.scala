@@ -150,6 +150,23 @@ class IndexSearchSpec extends SparkSuite {
     assert(Snapshot.metricsDiff(full, full).isEmpty)
   }
 
+  test("concurrent queries on one handle are identical and race-free") {
+    val handle = new graft.search.IndexHandle(spark, indexDir, warm = true)
+    try {
+      val qs = queries.take(6)
+      val expected = qs.map(q => q -> handle.servedTopK(q, 10).toSeq).toMap
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = (1 to 4).flatMap(_ => qs.map { q =>
+        Future(q -> handle.servedTopK(q, 10).toSeq)
+      })
+      Await.result(Future.sequence(futures), 120.seconds).foreach {
+        case (q, hits) => assert(hits === expected(q), s"query: $q")
+      }
+    } finally handle.close()
+  }
+
   test("per-segment lineage metrics are consistent") {
     val snap = Snapshot.latest(indexDir).get
     assert(snap.segments.map(_.docs).sum === 600)
