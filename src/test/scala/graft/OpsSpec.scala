@@ -71,6 +71,29 @@ class OpsSpec extends SparkSuite {
     assert(frames.map(_.media.toSeq).toSeq === again.map(_.media.toSeq).toSeq)
   }
 
+  test("TSV source round-trip with explicit schema (SURVEY S3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsv").toString
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.option("sep", "\t").option("header", "true").csv(s"$dir/nation")
+    val back = spark.read.option("sep", "\t").option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(s"$dir/nation")
+    val orig = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(back.as[(Int, String, Int)].collect().sortBy(_._1).toSeq === orig)
+    // malformed row routed by PERMISSIVE vs FAILFAST (reference raises on
+    // malformed TSV rows, tests/test_reactome.py:9-45)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.tsv"), "x\tnot_an_int\ty\n")
+    val permissive = spark.read.option("sep", "\t")
+      .schema("a INT, b INT, c INT").csv(s"$dir/bad.tsv").collect()
+    assert(permissive.head.isNullAt(0)) // nulls, not crash
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("sep", "\t").option("mode", "FAILFAST")
+        .schema("a INT, b INT, c INT").csv(s"$dir/bad.tsv").collect()
+    }
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
