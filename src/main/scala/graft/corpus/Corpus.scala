@@ -93,14 +93,17 @@ object Corpus {
       langs(rng.nextInt(langs.length)))
   }
 
-  /** The synthesized pages table as a typed Dataset. */
+  /** The synthesized pages table as a typed Dataset. NOTE: urls are a pure
+    * function of the row id, so batches meant to be url-disjoint (e.g. for
+    * IndexBuilder.append) must use disjoint [startId, startId+n) ranges. */
   def pages(spark: SparkSession, n: Long, seed: Long = 42L,
       vocabSize: Int = 5000, medianLen: Int = 120,
-      numPartitions: Int = 0): Dataset[Page] = {
+      numPartitions: Int = 0, startId: Long = 0L): Dataset[Page] = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, parts).map(i => genPage(i, seed, vocabSize, medianLen))
+    spark.range(startId, startId + n, 1, parts)
+      .map(i => genPage(i, seed, vocabSize, medianLen))
   }
 }
 

@@ -1,6 +1,7 @@
 package graft.index
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -109,10 +110,11 @@ object IndexBuilder {
     keys
   }
 
-  /** Build (or resume) the index for `pages` (needs `url`, `text` columns)
-    * under `indexDir`. `simulateOnlySegments` lets tests model a build
-    * killed partway: only those segments are committed, and a later resumed
-    * call completes the rest from the snapshot log. */
+  /** Build (or resume) the generation-0 index for `pages` (needs `url`,
+    * `text` columns) under `indexDir`. `simulateOnlySegments` lets tests
+    * model a build killed partway: only those segments are committed, and a
+    * later resumed call completes the rest from the snapshot log. For
+    * adding NEW documents to a committed index see `append`. */
   def build(
       spark: SparkSession,
       pages: DataFrame,
@@ -120,25 +122,68 @@ object IndexBuilder {
       cfg: IndexConfig = IndexConfig(),
       resume: Boolean = false,
       simulateOnlySegments: Option[Set[Int]] = None): SnapshotMeta = {
-    import spark.implicits._
-
     val prior = if (resume) Snapshot.latest(indexDir) else None
     prior.foreach { p =>
       require(p.numSegments == cfg.numSegments && p.blockSize == cfg.blockSize,
         s"resume config mismatch: snapshot P=${p.numSegments}/B=${p.blockSize}")
+      require(p.generations == 1,
+        "this index has appended generations; resume them via append()")
       if (p.isComplete) return p
     }
-
-    val P = cfg.numSegments
-    val segUdf = udf((url: String) => Hashing.segmentOf(url, P))
-
-    // build only the missing segments (resume = pure segment pruning; no
-    // global pass is needed because nothing in a segment depends on the
-    // other segments)
     val done = prior.map(_.completedSegIds).getOrElse(Set.empty[Int])
-    val wanted = (0 until P).filterNot(done.contains)
+    val wanted = (0 until cfg.numSegments).filterNot(done.contains)
       .filter(s => simulateOnlySegments.forall(_.contains(s)))
     require(wanted.nonEmpty, "nothing to build: all segments committed")
+    buildSegments(spark, pages, indexDir, cfg, prior, segOffset = 0, wanted)
+  }
+
+  /** Append NEW documents to a committed index as a fresh generation of
+    * segments (Iceberg-append semantics): existing segments, docIds and
+    * posting bytes are untouched; the new generation occupies segIds
+    * [g*P, (g+1)*P); global stats and the term dictionary are re-derived
+    * over all generations at commit. Input contract (BASELINE.json
+    * input_hint): url is the primary key — `newPages` urls must be new,
+    * appending an existing url creates a second document for it. With `resume = true`, completes a
+    * partially-committed top generation from `newPages` instead of
+    * starting another one. */
+  def append(
+      spark: SparkSession,
+      newPages: DataFrame,
+      indexDir: String,
+      resume: Boolean = false,
+      simulateOnlySegments: Option[Set[Int]] = None): SnapshotMeta = {
+    val prior = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    val P = prior.numSegments
+    val cfg = IndexConfig(P, prior.blockSize)
+    val done = prior.completedSegIds
+    val topGen = prior.generations - 1
+    val topGenDone = (topGen * P until (topGen + 1) * P).forall(done.contains)
+    val gen =
+      if (resume && !topGenDone) topGen
+      else {
+        require(prior.isComplete,
+          s"append requires a complete index (or resume=true): ${prior.segments.size} segments")
+        prior.generations
+      }
+    val wanted = (gen * P until (gen + 1) * P).filterNot(done.contains)
+      .filter(s => simulateOnlySegments.forall(_.contains(s)))
+    require(wanted.nonEmpty, "nothing to append")
+    buildSegments(spark, newPages, indexDir, cfg, Some(prior),
+      segOffset = gen * P, wanted)
+  }
+
+  private def buildSegments(
+      spark: SparkSession,
+      pages: DataFrame,
+      indexDir: String,
+      cfg: IndexConfig,
+      prior: Option[SnapshotMeta],
+      segOffset: Int,
+      wanted: Seq[Int]): SnapshotMeta = {
+    import spark.implicits._
+    val P = cfg.numSegments
+    val segUdf = udf((url: String) => segOffset + Hashing.segmentOf(url, P))
     val snapId = prior.map(_.id).getOrElse(0) + 1
     val buildDirRel = f"data/build-$snapId%05d"
     val buildDir = s"$indexDir/$buildDirRel"
@@ -158,7 +203,8 @@ object IndexBuilder {
       // costs an extra sampling pass over the corpus. Instead map segId
       // through a driver-computed murmur3 bijection so hashpartitioning
       // sends segment s exactly to partition s.
-      .withColumn("part", element_at(lit(bijectionKeys(P)), col("segId") + 1))
+      .withColumn("part",
+        element_at(lit(bijectionKeys(P)), col("segId") - lit(segOffset) + 1))
       .repartition(P, col("part"))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("part")).orderBy(col("url"))))
@@ -203,7 +249,8 @@ object IndexBuilder {
 
     val allSegments = (prior.map(_.segments).getOrElse(Nil) ++ metrics).sortBy(_.segId)
     val allDataDirs = (prior.map(_.dataDirs).getOrElse(Nil) :+ buildDirRel).distinct
-    val complete = allSegments.map(_.segId).distinct.size == P
+    val generations = allSegments.map(_.segId).max / P + 1
+    val complete = allSegments.map(_.segId).distinct.size == P * generations
 
     // term dictionary over all committed segments.
     // Explicit two-phase salted aggregation: head terms (Zipf skew) are first
@@ -349,13 +396,14 @@ object IndexBuilder {
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     require(snap.isComplete, "compact requires a complete index")
     if (snap.dataDirs.size == 1) return snap
-    val P = snap.numSegments
+    val totalSegs = snap.numSegments * snap.generations
     val newId = snap.id + 1
     val rel = f"data/compact-$newId%05d"
     spark.read.parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
       .as[PostingRow]
-      .withColumn("part", element_at(lit(bijectionKeys(P)), col("segId") + 1))
-      .repartition(P, col("part"))
+      .withColumn("part",
+        element_at(lit(bijectionKeys(totalSegs)), col("segId") + 1))
+      .repartition(totalSegs, col("part"))
       .drop("part")
       .sortWithinPartitions("segId", "term")
       .write.mode("overwrite").parquet(s"$indexDir/$rel")
@@ -365,5 +413,37 @@ object IndexBuilder {
       segments = snap.segments.map(_.copy(dataDir = rel)))
     Snapshot.commit(indexDir, compacted)
     compacted
+  }
+
+  /** Delete data/termdict dirs not referenced by the LATEST snapshot (the
+    * vacuum step after compaction; snapshots themselves are kept as the
+    * lineage log). Returns the deleted relative paths. Readers holding an
+    * older SnapshotMeta must re-resolve via LATEST afterwards — same
+    * contract as Iceberg's expire-snapshots + remove-orphans. */
+  def vacuum(indexDir: String): Seq[String] = {
+    val snap = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    val referenced = (snap.dataDirs ++ snap.termdictDir.toSeq).toSet
+    def orphansIn(sub: String, prefix: String): Seq[String] = {
+      val dir = java.nio.file.Paths.get(indexDir, sub)
+      if (!java.nio.file.Files.isDirectory(dir)) Nil
+      else {
+        val ls = java.nio.file.Files.list(dir)
+        try ls.iterator().asScala
+          .map(p => s"$prefix/${p.getFileName}")
+          .filterNot(referenced.contains)
+          .toSeq
+        finally ls.close()
+      }
+    }
+    val orphans = orphansIn("data", "data") ++ orphansIn("termdict", "termdict")
+    orphans.foreach { rel =>
+      val root = java.nio.file.Paths.get(indexDir, rel)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    orphans
   }
 }

@@ -33,8 +33,13 @@ case class SnapshotMeta(
     termdictDir: Option[String],
     segments: Seq[SegmentMeta]) {
   def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
+  /** Appends create new generations of segments: generation g occupies
+    * segIds [g*numSegments, (g+1)*numSegments). */
+  def generations: Int =
+    if (segments.isEmpty) 1 else segments.map(_.segId).max / numSegments + 1
   def isComplete: Boolean =
-    status == "segments" && segments.map(_.segId).distinct.size == numSegments
+    status == "segments" &&
+      segments.map(_.segId).distinct.size == numSegments * generations
   def completedSegIds: Set[Int] = segments.map(_.segId).toSet
 }
 

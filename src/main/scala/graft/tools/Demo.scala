@@ -41,7 +41,23 @@ object Demo {
       println(s"[demo] QC diff partial->resumed: ${qc.size} deltas, e.g. ${qc.take(2).mkString("; ")}")
       val merged = IndexBuilder.compact(spark, dir)
       println(s"[demo] compacted snapshot ${merged.id}: dataDirs=${merged.dataDirs.size}")
-      merged
+      val vacuumed = IndexBuilder.vacuum(dir)
+      println(s"[demo] vacuumed ${vacuumed.size} superseded dirs")
+      // append a url-disjoint batch as a new generation
+      val extra = Corpus.pages(spark, nDocs / 4, seed = 99, startId = nDocs)
+      val appended = IndexBuilder.append(spark, extra.toDF(), dir)
+      println(s"[demo] appended snapshot ${appended.id}: generations=" +
+        s"${appended.generations}, docs=${appended.numDocs}")
+      // (url, score) parity with the exhaustive oracle over the union
+      val unionDocs = (pages.collect() ++ extra.collect())
+        .map(p => p.url -> p.text).toSeq
+      val hits = Searcher.topK(spark, dir, "the data", 5)
+      val oracle = OracleSearch.topK(unionDocs, "the data", 5, cfg.numSegments)
+      val ok = hits.map(h => (h.url, h.score)).toSeq ==
+        oracle.map(h => (h.url, h.score)).toSeq
+      println(s"[demo] post-append oracle (url,score) identical: $ok")
+      if (!ok) sys.exit(1)
+      appended
     } else IndexBuilder.build(spark, pages.toDF(), dir, cfg)
     val buildSec = (System.nanoTime() - t0) / 1e9
     println(f"[demo] built snapshot ${snap.id}: ${snap.numDocs} docs, " +
@@ -49,14 +65,22 @@ object Demo {
       f"(${snap.numDocs / buildSec}%.0f docs/s)")
     println(s"[demo] snapshot log: ${Snapshot.latest(dir).map(_.status)}")
 
-    val docs = pages.select("url", "text").as[(String, String)].collect().toSeq
+    // oracle over every document the index now holds (lifecycle mode
+    // appends a second generation); compare on (url, score) — urls are
+    // unique and the pair is independent of segment layout
+    val docs =
+      if (sys.env.contains("GRAFT_DEMO_RESUME_COMPACT"))
+        (pages.collect() ++
+          Corpus.pages(spark, nDocs / 4, seed = 99, startId = nDocs).collect())
+          .map(p => p.url -> p.text).toSeq
+      else pages.select("url", "text").as[(String, String)].collect().toSeq
     queries.foreach { q =>
       val hits = Searcher.topK(spark, dir, q, 5)
       val oracle = OracleSearch.topK(docs, q, 5, snap.numSegments)
       println(s"""[demo] query "$q" -> ${hits.length} hits""")
       hits.foreach(h => println(f"  #${h.rank} ${h.url}%-40s ${h.score}%.6f"))
-      val ok = hits.map(h => (h.docId, h.score)).toSeq ==
-        oracle.map(h => (h.docId, h.score)).toSeq
+      val ok = hits.map(h => (h.url, h.score)).toSeq ==
+        oracle.map(h => (h.url, h.score)).toSeq
       println(s"[demo] oracle rank+score identical: $ok")
       if (!ok) sys.exit(1)
     }

@@ -122,6 +122,13 @@ class IndexSearchSpec extends SparkSuite {
     }
     // idempotent
     assert(IndexBuilder.compact(spark, dir).id === compacted.id)
+    // vacuum removes exactly the two superseded build dirs, answers intact
+    val removed = IndexBuilder.vacuum(dir)
+    // termdict survives: compaction reuses it (contents are unchanged)
+    assert(removed.toSet === Set("data/build-00001", "data/build-00002"))
+    assert(IndexBuilder.vacuum(dir).isEmpty) // second pass: nothing left
+    val after = Searcher.topK(spark, dir, "the data", 10).toSeq
+    assert(after === Searcher.topK(spark, indexDir, "the data", 10).toSeq)
   }
 
   test("index bytes are independent of input partitioning") {
@@ -148,6 +155,52 @@ class IndexSearchSpec extends SparkSuite {
     assert(diff.forall(_._2 == "added"), diff.take(3).toString)
     assert(diff.map(_._1).toSet === (2 until cfg.numSegments).toSet)
     assert(Snapshot.metricsDiff(full, full).isEmpty)
+  }
+
+  test("append: new documents land as a fresh generation, stats updated") {
+    val dir = Files.createTempDirectory("graft-idx-append").toString
+    val batchA = Corpus.pages(spark, 400, seed = 42, vocabSize = 800,
+      medianLen = 60)
+    // url-disjoint second batch: ids 400..599 (urls are id-derived)
+    val batchB = Corpus.pages(spark, 200, seed = 777, vocabSize = 800,
+      medianLen = 60, startId = 400)
+    IndexBuilder.build(spark, batchA.toDF(), dir, cfg)
+    val appended = IndexBuilder.append(spark, batchB.toDF(), dir)
+    assert(appended.isComplete)
+    assert(appended.generations === 2)
+    assert(appended.numDocs === 600)
+    assert(appended.segments.size === 2 * cfg.numSegments)
+
+    // scores must equal a fresh build over the union wherever global stats
+    // agree (N, df, avgdl identical by construction) — compare (url, score)
+    val union = batchA.union(batchB)
+    val freshDir = Files.createTempDirectory("graft-idx-union").toString
+    IndexBuilder.build(spark, union.toDF(), freshDir, cfg)
+    Seq("the data", "merge sort join", "w500x", "crawl web page").foreach { q =>
+      val a = Searcher.topK(spark, dir, q, 10)
+        .map(h => (h.url, h.score)).sortBy(_._1).toSeq
+      val b = Searcher.topK(spark, freshDir, q, 10)
+        .map(h => (h.url, h.score)).sortBy(_._1).toSeq
+      assert(a === b, s"query: $q")
+    }
+
+    // append is resumable like the initial build
+    val dir2 = Files.createTempDirectory("graft-idx-append2").toString
+    IndexBuilder.build(spark, batchA.toDF(), dir2, cfg)
+    IndexBuilder.append(spark, batchB.toDF(), dir2,
+      simulateOnlySegments = Some(Set(8, 9, 10)))
+    assert(!Snapshot.latest(dir2).get.isComplete)
+    val resumed = IndexBuilder.append(spark, batchB.toDF(), dir2, resume = true)
+    assert(resumed.isComplete && resumed.numDocs === 600)
+    Seq("the data", "w500x").foreach { q =>
+      assert(Searcher.topK(spark, dir2, q, 10).toSeq ===
+        Searcher.topK(spark, dir, q, 10).toSeq, s"query: $q")
+    }
+    // compaction still works across generations
+    val comp = IndexBuilder.compact(spark, dir2)
+    assert(comp.dataDirs.size === 1)
+    assert(Searcher.topK(spark, dir2, "the data", 10).toSeq ===
+      Searcher.topK(spark, dir, "the data", 10).toSeq)
   }
 
   test("concurrent queries on one handle are identical and race-free") {
