@@ -48,7 +48,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "1000000").toLong
+    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "2000000").toLong
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val base = sys.env.getOrElse("GRAFT_BENCH_TMP",
       if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-bench"
@@ -73,27 +73,29 @@ object Bench {
       Corpus.pages(spark, benchDocs, seed = 42, numPartitions = 32)
         .select("url", "text").write.mode("overwrite").parquet(corpusDir)
 
-    // ---- build throughput per parallelism level (warmup + best-of-reps)
+    // ---- build throughput per parallelism level (warmup + median-of-reps;
+    // median is robust to outliers in BOTH directions, unlike min, which
+    // matters because the N->4N efficiency is a ratio of two levels)
     var lastIndexDir: String = null
-    def throughputAt(n: Int): Double = {
+    def throughputAt(n: Int, nReps: Int): Double = {
       spark.stop()
       spark = session(n, localDir)
       spark.sparkContext.setLogLevel("WARN")
       val input = spark.read.parquet(corpusDir)
       val warm = Files.createTempDirectory(Paths.get(base), s"warm-$n").toString
       IndexBuilder.build(spark, input.limit(20000), warm, cfg)
-      val times = (1 to reps).map { r =>
+      val times = (1 to nReps).map { r =>
         val dir = Files.createTempDirectory(Paths.get(base), s"idx-$n-$r").toString
         val t0 = System.nanoTime()
         IndexBuilder.build(spark, input, dir, cfg)
         lastIndexDir = dir
         (System.nanoTime() - t0) / 1e9
-      }
-      benchDocs / times.min
+      }.sorted
+      benchDocs / times(times.length / 2)
     }
-    val tp4 = throughputAt(4)
-    val tp16 = throughputAt(16)
-    val tp32 = throughputAt(32)
+    val tp4 = throughputAt(4, reps)
+    val tp16 = throughputAt(16, reps)
+    val tp32 = throughputAt(32, math.max(1, reps - 1))
     val eff416 = (tp16 / tp4) / 4.0
     val eff832 = (tp32 / tp4) / 8.0 // informational: 4->32 at ideal 8x
 
