@@ -506,8 +506,11 @@ object SparkEntry {
                     AS score
                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
                 GROUP BY 1)
-         SELECT doc_id, round(score,6) AS score FROM sc
-         ORDER BY score DESC, doc_id LIMIT 20"""
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)"""
+    // NB: the top-20 cut orders by the UNROUNDED score (inner query), exactly
+    // like the engine ranks by the exact double — rounding happens after the
+    // cut on both sides, so a <5e-7 boundary tie cannot flip the doc set.
   )
 
   private val JaccardSql =

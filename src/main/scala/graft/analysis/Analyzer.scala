@@ -17,23 +17,24 @@ import scala.collection.mutable.ArrayBuffer
   * Semantics (golden fixtures in FIXTURES.md §2 / AnalyzerSpec):
   *  - split on Unicode whitespace, drop empties (multiple spaces collapse)
   *  - lowercase (ROOT locale)
-  *  - per whitespace token: subword parts are maximal runs of [a-z0-9']
-  *    (apostrophe is NOT a delimiter; case/numeric transitions do not split
-  *    because split_on_case_change / split_on_numerics are false and input
-  *    is already lowercased)
-  *  - each part has a trailing "'s" possessive stripped
+  *  - per whitespace token: subword parts are maximal runs of [a-z0-9]
+  *    (apostrophe IS a delimiter, matching Lucene WordDelimiterFilter's
+  *    default char types; case/numeric transitions do not split because
+  *    split_on_case_change / split_on_numerics are false and input is
+  *    already lowercased)
+  *  - stem_english_possessive: a "'s" immediately following a part whose
+  *    last char is a letter, with no word char after it, is consumed (the
+  *    documented ES example: "O'Neil's" -> parts [o, neil], and with
+  *    preserve_original the stream is [o'neil's, o, neil])
   *  - the original token is preserved ahead of its parts unless it equals
   *    its single part; tokens with no alphanumeric content are dropped
   */
 object Analyzer extends Serializable {
 
   @inline private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
-  private def stemPossessive(s: String): String =
-    if (s.length >= 2 && s.charAt(s.length - 2) == '\'' &&
-        (s.charAt(s.length - 1) == 's')) s.substring(0, s.length - 2)
-    else s
+  @inline private def isAlpha(c: Char): Boolean = c >= 'a' && c <= 'z'
 
   /** Emit tokens for one whitespace-delimited, already-lowercased word. */
   private def emit(orig: String, out: ArrayBuffer[String]): Unit = {
@@ -48,12 +49,15 @@ object Analyzer extends Serializable {
       val start = i
       while (i < n && isWordChar(orig.charAt(i))) i += 1
       if (i > start) {
-        val p = stemPossessive(orig.substring(start, i))
-        if (p.nonEmpty) {
-          parts += p
-          if (nParts == 0) firstPart = p
-          nParts += 1
-        }
+        parts += orig.substring(start, i)
+        if (nParts == 0) firstPart = parts(0)
+        nParts += 1
+        // stem_english_possessive: consume a trailing "'s" after a
+        // letter-final part (Lucene WordDelimiterIterator.endsWithPossessive)
+        if (isAlpha(orig.charAt(i - 1)) && i + 1 < n &&
+            orig.charAt(i) == '\'' && orig.charAt(i + 1) == 's' &&
+            (i + 2 == n || !isWordChar(orig.charAt(i + 2))))
+          i += 2
       }
     }
     if (nParts == 0) return // pure punctuation: dropped

@@ -228,10 +228,20 @@ object IndexBuilder {
       r
     }
 
+    val wantedSet = wanted.toSet
     timed("encode+write") {
       tokRows
         .sortWithinPartitions("segId", "term", "docId")
-        .mapPartitions(it => encodePartition(it, blockSize))
+        .mapPartitions { it =>
+          // partition p holds exactly segment segOffset+p (bijection above).
+          // A document-less wanted segment must still commit marker rows, or
+          // the snapshot stays permanently incomplete (a corpus with fewer
+          // docs than P would brick the index with no remediation).
+          val segId = segOffset + org.apache.spark.TaskContext.getPartitionId()
+          if (it.hasNext) encodePartition(it, blockSize)
+          else if (wantedSet.contains(segId)) emptySegmentRows(segId)
+          else Iterator.empty
+        }
         .write.mode("overwrite").parquet(buildDir)
     }
 
@@ -280,6 +290,18 @@ object IndexBuilder {
     Snapshot.commit(indexDir, snap)
     snap
   }
+
+  /** Marker rows (doc-length + url tables, both empty) for a segment that
+    * received zero documents, so it counts as committed in the snapshot. */
+  private def emptySegmentRows(segId: Int): Iterator[PostingRow] = Iterator(
+    PostingRow(segId, TermLens, 0L, 0L, 0, 0,
+      Array.emptyByteArray, Array.emptyByteArray, Array.emptyLongArray,
+      Array.emptyIntArray, Array.emptyIntArray, Array.emptyIntArray,
+      Array.emptyIntArray),
+    PostingRow(segId, TermUrls, 0L, 0L, 0, 0,
+      Array.emptyByteArray, Varint.encodeStrings(ArrayBuffer.empty[String]),
+      Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
+      Array.emptyIntArray, Array.emptyIntArray))
 
   /** Test hooks: synthesize a single (segId, term) posting run and run it
     * through the real streaming encoder (used by differential fuzz specs). */

@@ -32,7 +32,9 @@ object Routing {
       val invalid = tagged.filter(col("explanation").isNotNull)
       valid.write.mode("overwrite").parquet(validDir)
       invalid.write.mode("overwrite").parquet(invalidDir)
-      (spark.read.parquet(validDir).count(), spark.read.parquet(invalidDir).count())
+      // counts from the cached frame — no re-read of what we just wrote
+      (tagged.filter(col("explanation").isNull).count(),
+        tagged.filter(col("explanation").isNotNull).count())
     } finally tagged.unpersist()
   }
 }

@@ -262,6 +262,25 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   * streams, docIds and float orders are pinned identically by construction. */
 object OracleSearch {
 
+  /** Spark sorts strings as UTF8String binary = unsigned UTF-8 byte order;
+    * Scala's String ordering compares UTF-16 code units, which diverges for
+    * supplementary characters (a surrogate pair sorts below U+E000 in UTF-16
+    * but above it in UTF-8). The oracle must rank urls exactly like the
+    * builder's `orderBy(url)` or docIds diverge for non-ASCII urls. */
+  private[search] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private val utf8Ordering: Ordering[String] = (a, b) => utf8Compare(a, b)
+
   def topK(
       docs: Seq[(String, String)], // (url, text)
       query: String,
@@ -277,7 +296,7 @@ object OracleSearch {
       }
       .groupBy(_._1).toSeq
       .flatMap { case (seg, rows) =>
-        rows.sortBy(_._2).zipWithIndex.map { case ((_, url, text), i) =>
+        rows.sortBy(_._2)(utf8Ordering).zipWithIndex.map { case ((_, url, text), i) =>
           (IndexBuilder.segBase(seg) + i + 1, url, text)
         }
       }

@@ -13,9 +13,19 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("wi-fi", "wi", "fi", "routers"))
   }
 
-  test("possessive stemming on parts, apostrophe not a delimiter") {
+  test("apostrophe splits; possessive 's consumed (ES stem_english_possessive)") {
+    // pinned from the ES word_delimiter docs: "O'Neil's" -> [O, Neil], plus
+    // preserve_original -> the lowercased original leads its parts
+    assert(Analyzer.tokenize("O'Neil's").toSeq === Seq("o'neil's", "o", "neil"))
     assert(Analyzer.tokenize("O'Brien's dog").toSeq ===
-      Seq("o'brien's", "o'brien", "dog"))
+      Seq("o'brien's", "o", "brien", "dog"))
+    // non-possessive apostrophes still split; the trailing "'s" of a
+    // digit-final part is NOT possessive-stemmed (Lucene requires a letter)
+    assert(Analyzer.tokenize("don't").toSeq === Seq("don't", "don", "t"))
+    assert(Analyzer.tokenize("route66's").toSeq ===
+      Seq("route66's", "route66", "s"))
+    assert(Analyzer.tokenize("cats'").toSeq === Seq("cats'", "cats"))
+    assert(Analyzer.tokenize("'s").toSeq === Seq("'s", "s"))
   }
 
   test("no split on numerics") {

@@ -220,6 +220,42 @@ class IndexSearchSpec extends SparkSuite {
     } finally handle.close()
   }
 
+  test("segments with zero documents still commit (corpus smaller than P)") {
+    val dir = Files.createTempDirectory("graft-idx-sparse").toString
+    val few = Seq(
+      ("https://a.org/1", "data spark merge"),
+      ("https://b.org/2", "spark table"),
+      ("https://c.org/3", "data window")).toDF("url", "text")
+    val snap = IndexBuilder.build(spark, few, dir,
+      IndexConfig(numSegments = 32, blockSize = 16))
+    assert(snap.isComplete)
+    assert(snap.termdictDir.nonEmpty)
+    assert(snap.segments.size === 32)
+    assert(snap.segments.map(_.docs).sum === 3)
+    val hits = Searcher.topK(spark, dir, "spark", 10)
+    assert(hits.length === 2)
+    // and a resumed call is a no-op on the complete snapshot
+    assert(IndexBuilder.build(spark, few, dir,
+      IndexConfig(numSegments = 32, blockSize = 16), resume = true).id === snap.id)
+  }
+
+  test("non-ASCII urls: docId determinism holds in UTF-8 byte order") {
+    // U+E000 (3-byte UTF-8, single UTF-16 unit 0xE000) sorts ABOVE the
+    // surrogate pair U+10000 in UTF-16 code units but BELOW it in UTF-8
+    // bytes — the builder (Spark UTF8String) and the oracle must agree.
+    val dir = Files.createTempDirectory("graft-idx-utf8").toString
+    val urls = Seq("https://x.org//a", "https://x.org/𐀀/b",
+      "https://x.org/z", "https://x.org/é")
+    val rows = urls.zipWithIndex.map { case (u, i) => (u, s"data spark w$i") }
+    IndexBuilder.build(spark, rows.toDF("url", "text"), dir,
+      IndexConfig(numSegments = 1, blockSize = 16))
+    val engine = Searcher.topK(spark, dir, "data spark", 10)
+    val oracle = OracleSearch.topK(rows, "data spark", 10, numSegments = 1)
+    assert(engine.map(h => (h.docId, h.url)).toSeq ===
+      oracle.map(h => (h.docId, h.url)).toSeq)
+    assert(engine.map(_.score).toSeq === oracle.map(_.score).toSeq)
+  }
+
   test("per-segment lineage metrics are consistent") {
     val snap = Snapshot.latest(indexDir).get
     assert(snap.segments.map(_.docs).sum === 600)
