@@ -10,7 +10,7 @@ import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexConfig}
 import graft.functions.Scoring
 import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
-import graft.search.Searcher
+import graft.search.{BoolQuery, Searcher}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2), with DuckDB-runnable oracle SQL wherever the semantics
@@ -31,20 +31,55 @@ object SparkEntry {
     Searcher.topKDF(spark, dir, "the data spark", 10)
   }
 
-  /** BM25 over the driver's `documents` table through the full engine
-    * (build + WAND query). numSegments=1 pins the docId order to the
+  /** One shared index over the driver's `documents` table per sf dir
+    * (q21/q32/q33 all query it). numSegments=1 pins the docId order to the
     * zero-padded-url order == doc_id order, so score ties break identically
-    * to the SQL oracle's ORDER BY score DESC, doc_id. */
-  private def bm25Docs(spark: SparkSession, dir: String): DataFrame = {
-    val idx = Files.createTempDirectory("graft-q21-idx").toString
-    val docs = t(spark, dir, "documents")
-      .select(format_string("doc://%08d", col("doc_id")).as("url"), col("text"))
-    IndexBuilder.build(spark, docs, idx, IndexConfig(numSegments = 1, blockSize = 64))
-    val hits = Searcher.topK(spark, idx, Bm25Query, 20)
+    * to the SQL oracles' ORDER BY score DESC, doc_id. */
+  private val docIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def documentsIndex(spark: SparkSession, dir: String): String =
+    docIdxCache.computeIfAbsent(dir, _ => {
+      val idx = Files.createTempDirectory("graft-docs-idx").toString
+      val docs = t(spark, dir, "documents")
+        .select(format_string("doc://%08d", col("doc_id")).as("url"), col("text"))
+      IndexBuilder.build(spark, docs, idx, IndexConfig(numSegments = 1, blockSize = 64))
+      idx
+    })
+
+  private def hitsToDocIds(spark: SparkSession,
+      hits: Array[graft.search.Hit], withScore: Boolean): DataFrame = {
     import spark.implicits._
-    hits.toSeq.toDF("rank", "docId", "url", "score")
+    val df = hits.toSeq.toDF("rank", "docId", "url", "score")
       .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
         round(col("score"), 6).as("score"))
+    if (withScore) df else df.select("doc_id")
+  }
+
+  /** BM25 free-text top-k through the full engine (build + WAND query). */
+  private def bm25Docs(spark: SparkSession, dir: String): DataFrame =
+    hitsToDocIds(spark,
+      Searcher.topK(spark, documentsIndex(spark, dir), Bm25Query, 20),
+      withScore = true)
+
+  /** ES-style bool query: must (AND, scored) + should (scored) + filter
+    * (unscored constant-score) + mustNot — the reference's runtime query
+    * shape (mrtarget/modules/SearchObjects.py:336-338,
+    * common/LookupTables.py:100-103). */
+  private def boolDocs(spark: SparkSession, dir: String): DataFrame =
+    hitsToDocIds(spark,
+      Searcher.search(spark, documentsIndex(spark, dir), BoolQuery(
+        must = Seq("data", "spark"), should = Seq("merge", "window"),
+        filter = Seq("table"), mustNot = Seq("slow")), 20),
+      withScore = true)
+
+  /** ES `ids` query + unscored term filter (the reference's LRU-cached
+    * id lookups, mrtarget/common/LookupTables.py:91-116): docIds resolve by
+    * binary search in the segment url tables, no posting bytes touched. */
+  private def idsDocs(spark: SparkSession, dir: String): DataFrame = {
+    val urls = Seq(3L, 57L, 123L, 250L, 444L, 499L).map(i => f"doc://$i%08d")
+    hitsToDocIds(spark,
+      Searcher.search(spark, documentsIndex(spark, dir),
+        BoolQuery(ids = Some(urls), filter = Seq("data")), 100),
+      withScore = false)
   }
 
   private val Bm25Query = "data spark merge"
@@ -264,7 +299,9 @@ object SparkEntry {
         t(s, d, "documents").filter(col("doc_id") < 500), "doc_id", "text", 0.9)),
 
     // ---- the fulltext engine itself ----
-    "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d))
+    "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d)),
+    "q32_bool_query" -> ((s, d) => boolDocs(s, d)),
+    "q33_ids_filter" -> ((s, d) => idsDocs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,10 +544,41 @@ object SparkEntry {
                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
                 GROUP BY 1)
          SELECT doc_id, round(score,6) AS score FROM
-           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)"""
-    // NB: the top-20 cut orders by the UNROUNDED score (inner query), exactly
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
+    // NB: the top-20 cuts order by the UNROUNDED score (inner query), exactly
     // like the engine ranks by the exact double — rounding happens after the
     // cut on both sides, so a <5e-7 boundary tie cannot flip the doc set.
+    "q32_bool_query" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                       FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         cand AS (
+           SELECT d.doc_id FROM dl d
+           WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id=d.doc_id AND t.term='data')
+             AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id=d.doc_id AND t.term='spark')
+             AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id=d.doc_id AND t.term='table')
+             AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id=d.doc_id AND t.term='slow')),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data','merge','spark','window') GROUP BY 1,2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN ('data','merge','spark','window') GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                    AS score
+                FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+                WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+                GROUP BY 1)
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
+    "q33_ids_filter" ->
+      """SELECT doc_id FROM documents d
+         WHERE doc_id IN (3,57,123,250,444,499)
+           AND EXISTS (SELECT 1 FROM
+                 (SELECT unnest(string_split(d.text,' ')) AS term) t
+                 WHERE t.term='data')"""
   )
 
   private val JaccardSql =

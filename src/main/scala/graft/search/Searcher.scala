@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.index.{IndexBuilder, PostingRow, Snapshot, SnapshotMeta, Varint}
+import graft.index.{Hashing, IndexBuilder, PostingRow, Snapshot, SnapshotMeta, Varint}
 
 final case class Hit(rank: Int, docId: Long, url: String, score: Double)
 
@@ -16,15 +16,20 @@ final case class Hit(rank: Int, docId: Long, url: String, score: Double)
   * Query plan: the term dictionary is probed for the query terms (Parquet
   * predicate pushdown on the sorted `term` column — the FST-analogue lookup),
   * idfs are broadcast, then only the matching posting rows + per-segment
-  * doc-length rows shuffle to a per-segment block-max WAND
-  * (`groupByKey(segId).flatMapGroups`), each segment emitting its local
-  * top-k. The global answer is the k-way merge `orderBy(score desc, docId
-  * asc).limit(k)` — Spark's TakeOrderedAndProject. Urls are resolved for the
-  * k winners only, touching just the winning segments' url rows. */
+  * doc-length rows shuffle to a per-segment scorer
+  * (`groupByKey(segId).flatMapGroups`) — block-max WAND for pure-should
+  * queries, leapfrog conjunction for must/filter/ids queries — each segment
+  * emitting its local top-k. The global answer is the k-way merge
+  * `orderBy(score desc, docId asc).limit(k)` — Spark's
+  * TakeOrderedAndProject. Urls are resolved for the k winners only, touching
+  * just the winning segments' url rows. */
 object Searcher {
 
   def topK(spark: SparkSession, indexDir: String, query: String, k: Int): Array[Hit] =
     new IndexHandle(spark, indexDir, warm = false).topK(query, k)
+
+  def search(spark: SparkSession, indexDir: String, q: BoolQuery, k: Int): Array[Hit] =
+    new IndexHandle(spark, indexDir, warm = false).search(q, k)
 
   /** DataFrame form for SparkEntry / driver smoke checks. */
   def topKDF(spark: SparkSession, indexDir: String, query: String, k: Int): DataFrame = {
@@ -34,12 +39,72 @@ object Searcher {
   }
 }
 
+/** Compiled form of a [[BoolQuery]] against one snapshot: clause term
+  * arrays, idfs for the scoring terms, and ids resolved to per-segment
+  * sorted docId allowlists. Plain data — serializable into executor
+  * closures without dragging the session-holding handle along. */
+private[search] final case class CompiledQuery(
+    must: Array[String],
+    filter: Array[String],
+    mustNot: Array[String],
+    scoringTerms: Array[String], // must ∪ should, sorted asc
+    idf: Map[String, Double],
+    hasIds: Boolean,
+    idsBySeg: Map[Int, Array[Long]]) {
+  def hasRequired: Boolean = must.nonEmpty || filter.nonEmpty || hasIds
+  def allTerms: Array[String] =
+    (must ++ filter ++ mustNot ++ scoringTerms).distinct
+}
+
+/** Per-segment evaluation shared by the distributed and served paths. */
+private[search] object BoolEval {
+
+  def scoreSegment(
+      segId: Int,
+      rows: Seq[PostingRow],
+      lens: Array[Int],
+      c: CompiledQuery,
+      blockSize: Int,
+      avgdl: Double,
+      k: Int): Iterator[(Long, Double, Int)] = {
+    val byTerm = new scala.collection.mutable.HashMap[String, PostingRow]
+    rows.foreach(r => byTerm.update(r.term, r))
+    // a segment missing any required term cannot match
+    var i = 0
+    while (i < c.must.length) {
+      if (!byTerm.contains(c.must(i))) return Iterator.empty; i += 1
+    }
+    i = 0
+    while (i < c.filter.length) {
+      if (!byTerm.contains(c.filter(i))) return Iterator.empty; i += 1
+    }
+    val ids: Array[Long] =
+      if (!c.hasIds) null
+      else c.idsBySeg.getOrElse(segId, return Iterator.empty)
+
+    def iter(t: String): PostingIterator = {
+      val it = new PostingIterator(byTerm(t), c.idf.getOrElse(t, 0.0), blockSize, avgdl)
+      it.start()
+      it
+    }
+    val scoring = c.scoringTerms.filter(byTerm.contains).map(iter)
+    val excluded = c.mustNot.filter(byTerm.contains).map(iter)
+    val hits =
+      if (c.hasRequired)
+        BooleanScorer.conjunctiveTopK((c.must ++ c.filter).map(iter), scoring,
+          excluded, ids, lens, IndexBuilder.segBase(segId), avgdl, k)
+      else if (scoring.isEmpty) Array.empty[SegHit]
+      else Wand.topK(scoring, lens, IndexBuilder.segBase(segId), avgdl, k, excluded)
+    hits.iterator.map(h => (h.docId, h.score, segId))
+  }
+}
+
 /** A queryable snapshot. With `warm = true` the posting table is
   * re-clustered by segment and persisted in executor memory, and the term
   * dictionary is collected to a driver map (bounded by `dictLimit`), so a
   * steady-state query is ONE shuffle-free Spark job: filter the cached
   * postings (predicate pushdown / in-memory batch pruning on `term`) ->
-  * per-partition WAND over the colocated segments -> global
+  * per-partition scoring over the colocated segments -> global
   * TakeOrderedAndProject. The cold path (warm = false) reads parquet
   * directly and probes the dictionary with a pushed-down filter instead. */
 final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = true,
@@ -116,83 +181,117 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         .toMap
     }
 
-  /** Hot-serving top-k: rank-identical to `topK` (same Wand/Bm25 code, same
-    * ascending-term evaluation, same (score desc, docId asc) merge), but
-    * segments are scored sequentially on the driver from memoized postings. */
-  def servedTopK(query: String, k: Int): Array[Hit] = {
-    val qTerms = Analyzer.tokenize(query).distinct.sorted
-    if (qTerms.isEmpty) return Array.empty
-    val dfByTerm: Map[String, Long] = driverDict match {
-      case Some(m) => qTerms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
-      case None => termdict.filter(col("term").isin(qTerms: _*))
-        .select("term", "df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-    val terms = qTerms.filter(dfByTerm.contains)
-    if (terms.isEmpty) return Array.empty
-    val idfMap = terms.map(t => t -> Bm25.idf(snap.numDocs, dfByTerm(t))).toMap
-    val lens = fetchLens()
-    val rowsByTerm = fetchPostings(terms)
-
-    val bySeg = scala.collection.mutable.LinkedHashMap.empty[Int, ArrayBuffer[PostingRow]]
-    terms.foreach { t =>
-      rowsByTerm(t).foreach(r => bySeg.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r)
-    }
-    // segments score independently; parallelize across driver cores (the
-    // per-segment WAND state is private; merge order is pinned afterwards)
-    val hits = bySeg.toSeq.par.flatMap { case (segId, rows) =>
-      lens.get(segId) match {
-        case None => Seq.empty
-        case Some(l) =>
-          val iters = rows.sortBy(_.term)
-            .map(r => new PostingIterator(r, idfMap(r.term), blockSize, avgdl))
-            .toArray
-          iters.foreach(_.start())
-          Wand.topK(iters, l, IndexBuilder.segBase(segId), avgdl, k).toSeq
-            .map(h => (h.docId, h.score, segId))
-      }
-    }.seq.toArray
-    val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)
-    if (top.isEmpty) return Array.empty
-    val missingSegs = urlCache.synchronized(
-      top.map(_._3).distinct.toSeq.filterNot(urlCache.contains))
-    if (missingSegs.nonEmpty) {
+  /** Fetch (and memoize) the sorted url tables of `segs`. */
+  private def urlTables(segs: Seq[Int]): Map[Int, Array[String]] = {
+    val missing = urlCache.synchronized(segs.distinct.filterNot(urlCache.contains))
+    if (missing.nonEmpty) {
       val fetched = postings
         .filter(col("term") === IndexBuilder.TermUrls &&
-          col("segId").isin(missingSegs: _*))
+          col("segId").isin(missing: _*))
         .collect().map(r => r.segId -> Varint.decodeStrings(r.tfBytes))
-      urlCache.synchronized(urlCache ++= fetched)
+      urlCache.synchronized {
+        fetched.foreach { case (s, u) => urlCache.getOrElseUpdate(s, u) }
+      }
     }
-    top.zipWithIndex.map { case ((docId, score, seg), i) =>
-      val url = urlCache.synchronized(urlCache(seg))(
-        (docId - IndexBuilder.segBase(seg) - 1).toInt)
-      Hit(i + 1, docId, url, score)
-    }
+    urlCache.synchronized(
+      segs.map(s => s -> urlCache.getOrElse(s, Array.empty[String])).toMap)
   }
 
-  def close(): Unit = if (warm) postings.unpersist()
-
-  def topK(query: String, k: Int): Array[Hit] = {
-    val qTerms = Analyzer.tokenize(query).distinct.sorted
-    if (qTerms.isEmpty) return Array.empty
-    val dfByTerm: Map[String, Long] = driverDict match {
-      case Some(m) => qTerms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
-      case None => termdict
-        .filter(col("term").isin(qTerms: _*))
+  private def dictDf(terms: Seq[String]): Map[String, Long] = driverDict match {
+    case Some(m) => terms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
+    case None =>
+      if (terms.isEmpty) Map.empty
+      else termdict.filter(col("term").isin(terms: _*))
         .select("term", "df").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-    val terms = qTerms.filter(dfByTerm.contains)
-    if (terms.isEmpty) return Array.empty
+  }
 
-    val idfMap = terms.map(t => t -> Bm25.idf(snap.numDocs, dfByTerm(t))).toMap
-    val idfB = spark.sparkContext.broadcast(idfMap)
+  /** ids (urls) -> per-segment sorted docIds, by binary search in the
+    * candidate segments' sorted url tables (seg-local rank IS the url sort
+    * position, so no posting bytes are touched). A url may exist in one
+    * segment per generation; all generations are probed. */
+  private def resolveIds(urls: Seq[String]): Map[Int, Array[Long]] = {
+    val P = snap.numSegments
+    val gens = snap.generations
+    val segs = urls.map(u => Hashing.segmentOf(u, P)).distinct
+      .flatMap(s0 => (0 until gens).map(_ * P + s0))
+    val tables = urlTables(segs)
+    val out = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    urls.distinct.foreach { u =>
+      val s0 = Hashing.segmentOf(u, P)
+      var g = 0
+      while (g < gens) {
+        val seg = g * P + s0
+        val idx = binarySearchUtf8(tables.getOrElse(seg, Array.empty[String]), u)
+        if (idx >= 0)
+          out.getOrElseUpdate(seg, ArrayBuffer.empty[Long]) +=
+            IndexBuilder.segBase(seg) + idx + 1
+        g += 1
+      }
+    }
+    out.map { case (s, b) => s -> b.toArray.sorted }.toMap
+  }
+
+  /** Binary search in UTF-8 byte order — the order the builder sorted by. */
+  private def binarySearchUtf8(tab: Array[String], u: String): Int = {
+    var lo = 0
+    var hi = tab.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = OracleSearch.utf8Compare(tab(mid), u)
+      if (c < 0) lo = mid + 1
+      else if (c > 0) hi = mid - 1
+      else return mid
+    }
+    -1
+  }
+
+  /** Compile against this snapshot; None = provably-empty result. */
+  private def compile(q0: BoolQuery): Option[CompiledQuery] = {
+    val q = q0.normalized
+    if (q.contradictory) return None
+    val df = dictDf((q.must ++ q.should ++ q.filter ++ q.mustNot).distinct)
+    if (q.must.exists(!df.contains(_)) || q.filter.exists(!df.contains(_)))
+      return None // conjunction over an absent term
+    val scoring = (q.must ++ q.should.filter(df.contains)).distinct.sorted.toArray
+    if (!q.hasRequired && scoring.isEmpty) return None
+    val idsBySeg = q.ids match {
+      case None => Map.empty[Int, Array[Long]]
+      case Some(urls) =>
+        val m = resolveIds(urls)
+        if (m.isEmpty) return None // no listed id exists in the index
+        m
+    }
+    Some(CompiledQuery(q.must.toArray, q.filter.toArray,
+      q.mustNot.filter(df.contains).toArray, scoring,
+      scoring.map(t => t -> Bm25.idf(snap.numDocs, df(t))).toMap,
+      q.ids.isDefined, idsBySeg))
+  }
+
+  /** Free-text top-k (ES `match`): pure-should over the analyzed terms. */
+  def topK(query: String, k: Int): Array[Hit] =
+    search(BoolQuery.text(query), k)
+
+  /** Hot-serving free-text top-k — rank-identical to `topK` (same scorer,
+    * same ascending-term evaluation, same (score desc, docId asc) merge),
+    * but segments are scored sequentially on the driver from memoized
+    * postings. */
+  def servedTopK(query: String, k: Int): Array[Hit] =
+    servedSearch(BoolQuery.text(query), k)
+
+  /** Distributed bool-query top-k over the snapshot. */
+  def search(q: BoolQuery, k: Int): Array[Hit] = {
+    val c = compile(q) match {
+      case None => return Array.empty
+      case Some(x) => x
+    }
     val kk = k
     val avg = avgdl
     val bs = blockSize
+    val wanted: Seq[String] = IndexBuilder.TermLens +: c.allTerms.toSeq
 
-    val wanted: Seq[String] = IndexBuilder.TermLens +: terms
-    def wandSegments(rowsIt: Iterator[PostingRow]): Iterator[(Long, Double, Int)] = {
+    def evalRows(rowsIt: Iterator[PostingRow]): Iterator[(Long, Double, Int)] = {
       var lensFor = Map.empty[Int, Array[Int]]
       val posting = scala.collection.mutable.LinkedHashMap
         .empty[Int, ArrayBuffer[PostingRow]]
@@ -201,28 +300,35 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           lensFor += r.segId -> Varint.decodeInts(r.docBytes)
         else posting.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
       }
-      posting.iterator.flatMap { case (segId, rows) =>
+      // an ids query must evaluate its segments even when no clause term has
+      // a posting row there (e.g. pure-ids, or ids + mustNot-only); those
+      // segments are identified by their doc-length marker rows instead
+      val segIds: Iterator[Int] =
+        if (c.hasIds) lensFor.keysIterator.filter(c.idsBySeg.contains)
+        else posting.keysIterator
+      segIds.flatMap { segId =>
         lensFor.get(segId) match {
           case None => Iterator.empty
           case Some(lens) =>
-            val iters = rows.sortBy(_.term)
-              .map(r => new PostingIterator(r, idfB.value(r.term), bs, avg))
-              .toArray
-            iters.foreach(_.start())
-            Wand.topK(iters, lens, IndexBuilder.segBase(segId), avg, kk)
-              .iterator.map(h => (h.docId, h.score, segId))
+            BoolEval.scoreSegment(segId,
+              posting.get(segId).map(_.toSeq).getOrElse(Nil), lens, c, bs, avg, kk)
         }
       }
     }
-    val filtered = postings.filter(col("term").isin(wanted: _*))
+
+    val byTerm = postings.filter(col("term").isin(wanted: _*))
+    // an ids clause pins the candidate segments — prune the scan to them
+    val filtered =
+      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
+      else byTerm
     // warm: the cache is explicitly clustered by segId, so per-partition
     // local grouping is safe and the query runs with ZERO exchanges.
     // cold: parquet splits can fragment a segment across tasks, so group
     // by key (the shuffle moves only the filtered posting rows).
     val scoredDs =
-      if (warm) filtered.mapPartitions(wandSegments)
+      if (warm) filtered.mapPartitions(evalRows)
       else filtered.groupByKey(_.segId)
-        .flatMapGroups((_: Int, it: Iterator[PostingRow]) => wandSegments(it))
+        .flatMapGroups((_: Int, it: Iterator[PostingRow]) => evalRows(it))
     val hits = scoredDs
       .toDF("docId", "score", "segId")
       .orderBy(desc("score"), asc("docId"))
@@ -230,29 +336,55 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       .collect()
 
     if (hits.isEmpty) return Array.empty
-    val winnerSegs = hits.map(_.getInt(2)).distinct.toSeq
-    val missingSegs =
-      if (warm) urlCache.synchronized(winnerSegs.filterNot(urlCache.contains))
-      else winnerSegs
-    if (missingSegs.nonEmpty) {
-      val fetched = postings
-        .filter(col("term") === IndexBuilder.TermUrls &&
-          col("segId").isin(missingSegs: _*))
-        .collect()
-        .map(r => r.segId -> Varint.decodeStrings(r.tfBytes))
-      if (warm) urlCache.synchronized(urlCache ++= fetched)
-      else urlCache.synchronized {
-        fetched.foreach { case (s2, u) => urlCache.getOrElseUpdate(s2, u) }
-      }
-    }
-    val urlOf: (Int, Long) => String = (seg, docId) =>
-      urlCache.synchronized(urlCache(seg))(
-        (docId - IndexBuilder.segBase(seg) - 1).toInt)
-
+    val urls = urlTables(hits.map(_.getInt(2)).distinct.toSeq)
     hits.zipWithIndex.map { case (r, i) =>
-      Hit(i + 1, r.getLong(0), urlOf(r.getInt(2), r.getLong(0)), r.getDouble(1))
+      val seg = r.getInt(2)
+      val docId = r.getLong(0)
+      Hit(i + 1, docId, urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt),
+        r.getDouble(1))
     }
   }
+
+  /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on
+    * the driver from the memoized posting/doc-length caches. */
+  def servedSearch(q: BoolQuery, k: Int): Array[Hit] = {
+    val c = compile(q) match {
+      case None => return Array.empty
+      case Some(x) => x
+    }
+    val lens = fetchLens()
+    val wantedTerms = c.allTerms.toSeq
+    val rowsByTerm = fetchPostings(wantedTerms)
+
+    val candSegs: Seq[Int] = {
+      val base: Set[Int] =
+        if (c.must.nonEmpty || c.filter.nonEmpty)
+          (c.must ++ c.filter).map(t => rowsByTerm(t).iterator.map(_.segId).toSet)
+            .reduce(_ intersect _)
+        else if (c.hasIds) c.idsBySeg.keySet
+        else c.scoringTerms.iterator.flatMap(t => rowsByTerm(t).map(_.segId)).toSet
+      (if (c.hasIds) base.intersect(c.idsBySeg.keySet) else base).toSeq.sorted
+    }
+    // segments score independently; parallelize across driver cores (the
+    // per-segment scorer state is private; merge order is pinned afterwards)
+    val hits = candSegs.par.flatMap { segId =>
+      lens.get(segId) match {
+        case None => Seq.empty
+        case Some(l) =>
+          val rows = wantedTerms.flatMap(t => rowsByTerm(t).filter(_.segId == segId))
+          BoolEval.scoreSegment(segId, rows, l, c, blockSize, avgdl, k).toSeq
+      }
+    }.seq.toArray
+    val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)
+    if (top.isEmpty) return Array.empty
+    val urls = urlTables(top.map(_._3).distinct.toSeq)
+    top.zipWithIndex.map { case ((docId, score, seg), i) =>
+      Hit(i + 1, docId,
+        urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt), score)
+    }
+  }
+
+  def close(): Unit = if (warm) postings.unpersist()
 }
 
 /** Deliberately naive exhaustive scorer — the in-repo "reference
@@ -281,45 +413,65 @@ object OracleSearch {
   }
   private val utf8Ordering: Ordering[String] = (a, b) => utf8Compare(a, b)
 
+  /** docIds exactly as the builder assigns them. */
+  private def assignIds(docs: Seq[(String, String)], numSegments: Int)
+      : Seq[(Long, String, String)] = docs
+    .map { case (url, text) =>
+      (Hashing.segmentOf(url, numSegments), url, text)
+    }
+    .groupBy(_._1).toSeq
+    .flatMap { case (seg, rows) =>
+      rows.sortBy(_._2)(utf8Ordering).zipWithIndex.map { case ((_, url, text), i) =>
+        (IndexBuilder.segBase(seg) + i + 1, url, text)
+      }
+    }
+
   def topK(
       docs: Seq[(String, String)], // (url, text)
       query: String,
       k: Int,
+      numSegments: Int): Array[Hit] =
+    boolTopK(docs, BoolQuery.text(query), k, numSegments)
+
+  /** Exhaustive bool-query evaluation with the pinned BoolQuery semantics —
+    * the differential-fuzz oracle for must/filter/ids/mustNot. */
+  def boolTopK(
+      docs: Seq[(String, String)],
+      q0: BoolQuery,
+      k: Int,
       numSegments: Int): Array[Hit] = {
-    val qTerms = Analyzer.tokenize(query).distinct.sorted
-    if (qTerms.isEmpty) return Array.empty
+    val q = q0.normalized
+    if (q.contradictory) return Array.empty
 
-    // docIds exactly as the builder assigns them
-    val withIds: Seq[(Long, String, String)] = docs
-      .map { case (url, text) =>
-        (graft.index.Hashing.segmentOf(url, numSegments), url, text)
-      }
-      .groupBy(_._1).toSeq
-      .flatMap { case (seg, rows) =>
-        rows.sortBy(_._2)(utf8Ordering).zipWithIndex.map { case ((_, url, text), i) =>
-          (IndexBuilder.segBase(seg) + i + 1, url, text)
-        }
-      }
-
+    val withIds = assignIds(docs, numSegments)
     val tfs = withIds.map { case (id, url, text) => (id, url, Analyzer.termFreqs(text)) }
     val n = tfs.size.toLong
-    val sumdl = tfs.iterator.map(_._3.valuesIterator.sum.toLong).sum
     if (n == 0) return Array.empty
+    val sumdl = tfs.iterator.map(_._3.valuesIterator.sum.toLong).sum
     val avgdl = Bm25.avgdl(n, sumdl)
-    val dfByTerm = qTerms.map { t => t -> tfs.count(_._3.contains(t)).toLong }.toMap
+    val scoringAll = (q.must ++ q.should).distinct.sorted
+    val dfByTerm = scoringAll.map { t => t -> tfs.count(_._3.contains(t)).toLong }.toMap
+    val idsSet = q.ids.map(_.toSet)
 
     val scored = tfs.flatMap { case (id, url, tf) =>
-      val doclen = tf.valuesIterator.sum
-      var s = 0.0
-      var any = false
-      qTerms.foreach { t => // ascending term order — float parity with Wand
-        val f = tf.getOrElse(t, 0)
-        if (f > 0 && dfByTerm(t) > 0) {
-          any = true
-          s += Bm25.idf(n, dfByTerm(t)) * Bm25.tfNorm(f, doclen, avgdl)
+      val pass = idsSet.forall(_.contains(url)) &&
+        q.must.forall(t => tf.getOrElse(t, 0) > 0) &&
+        q.filter.forall(t => tf.getOrElse(t, 0) > 0) &&
+        !q.mustNot.exists(t => tf.getOrElse(t, 0) > 0)
+      if (!pass) None
+      else {
+        val doclen = tf.valuesIterator.sum
+        var s = 0.0
+        var any = false
+        scoringAll.foreach { t => // ascending term order — float parity
+          val f = tf.getOrElse(t, 0)
+          if (f > 0 && dfByTerm(t) > 0) {
+            any = true
+            s += Bm25.idf(n, dfByTerm(t)) * Bm25.tfNorm(f, doclen, avgdl)
+          }
         }
+        if (q.hasRequired || any) Some((id, url, s)) else None
       }
-      if (any) Some((id, url, s)) else None
     }
     scored.sortBy { case (id, _, s) => (-s, id) }.take(k)
       .zipWithIndex.map { case ((id, url, s), i) => Hit(i + 1, id, url, s) }

@@ -21,13 +21,16 @@ final case class SegHit(docId: Long, score: Double)
 object Wand {
 
   /** `iters` must be sorted by term asc and started; `lens(rank-1)` is the
-    * doc length for seg-local rank. */
+    * doc length for seg-local rank. `exclude` cursors (bool mustNot) veto
+    * documents without contributing score — exclusion only removes
+    * candidates, so the WAND upper-bound pruning stays exact. */
   def topK(
       iters: Array[PostingIterator],
       lens: Array[Int],
       segBase: Long,
       avgdl: Double,
-      k: Int): Array[SegHit] = {
+      k: Int,
+      exclude: Array[PostingIterator] = Array.empty): Array[SegHit] = {
     val n = iters.length
     if (n == 0 || k <= 0) return Array.empty
 
@@ -56,17 +59,26 @@ object Wand {
     }
 
     def evalDoc(doc: Long): Unit = {
-      var s = 0.0
-      var i = 0
-      while (i < n) { // ascending term order — float-order pinned
-        val it = iters(i)
-        if (it.curDoc == doc)
-          s += it.idf * Bm25.tfNorm(it.curTf, lens((doc - segBase - 1).toInt), avgdl)
-        i += 1
+      var veto = false
+      var e = 0
+      while (e < exclude.length) {
+        exclude(e).seek(doc) // candidates ascend, so forward-only seeks
+        if (exclude(e).curDoc == doc) veto = true
+        e += 1
       }
-      if (heap.size < k) heap.enqueue(SegHit(doc, s))
-      else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(doc, s)) }
-      i = 0
+      if (!veto) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { // ascending term order — float-order pinned
+          val it = iters(i)
+          if (it.curDoc == doc)
+            s += it.idf * Bm25.tfNorm(it.curTf, lens((doc - segBase - 1).toInt), avgdl)
+          i += 1
+        }
+        if (heap.size < k) heap.enqueue(SegHit(doc, s))
+        else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(doc, s)) }
+      }
+      var i = 0
       while (i < n) {
         if (iters(i).curDoc == doc) iters(i).next()
         i += 1
