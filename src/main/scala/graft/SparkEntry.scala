@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexConfig}
-import graft.functions.Scoring
+import graft.functions.{Normalize, Scoring}
 import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
 import graft.search.{BoolQuery, Searcher}
 
@@ -298,6 +298,59 @@ object SparkEntry {
       DataDrivenRelation.weightedOverlapPairs(
         t(s, d, "documents").filter(col("doc_id") < 500), "doc_id", "text", 0.9)),
 
+    // ---- parent/child merge family (A1/A8/J6/J8: the reference's drug
+    // merge shape — max/min scalars, collect_set bridge, set-union of
+    // child tag arrays, nested top-2 collection; Drug.py:809-906,
+    // chembl_lookup.py:83-123). Arrays serialize to sorted canonical
+    // strings so the driver's column-hash compare is order-stable. ----
+    "q34_parent_merge" -> ((s, d) => {
+      t(s, d, "orders").groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        concat_ws(" ", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+        concat_ws(" ", array_sort(array_distinct(flatten(collect_list(
+          array(col("o_orderstatus"), col("o_orderpriority"))))))).as("tags"),
+        concat_ws("|", transform(
+          slice(array_sort(collect_list(struct(
+            (col("o_totalprice") * -1).as("np"),
+            col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")))), 1, 2),
+          x => format_string("%d:%d", x.getField("k"), x.getField("cents"))))
+          .as("top2"))
+    }),
+
+    // ---- JSON-lines validation (S6 + §1.3: from_json against a declared
+    // schema, parse failures routed with explanations like the reference's
+    // evidence validation, Evidences.py:106-283). Corruption is injected
+    // deterministically so the invalid channels are non-empty. ----
+    "q35_json_validate" -> ((s, d) => {
+      val parsed = t(s, d, "events")
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, expr("substr(props, 2)"))
+            .when(col("event_id") % 11 === 0, lit("{\"wrong\": 1}"))
+            .otherwise(col("props")))
+        .withColumn("j", from_json(col("raw"), "k INT, _corrupt_record STRING",
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      graft.ops.Routing.explain(parsed, Seq(
+        "bad_json" -> col("j").getField("_corrupt_record").isNotNull,
+        "missing_k" -> col("j").getField("k").isNull,
+        "k_out_of_range" -> (col("j").getField("k") > 90)))
+        .select(coalesce(col("explanation"), lit("valid")).as("explanation"))
+        .groupBy("explanation").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- NFKD->ascii fold + SaferCast fallback casts (reference
+    // Drug.py:116-123, safercast.py:7-89) ----
+    "q36_nfkd_cast" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        Normalize.nfkdAsciiUdf(
+          concat(lit("Crème-Brûlée Ångström île façade "), col("event_type")))
+          .as("folded"),
+        Normalize.saferDouble(col("event_type"), -1.0).as("et_num"),
+        Normalize.saferDouble(col("value").cast("string"), -1.0).as("v_num"))),
+
     // ---- the fulltext engine itself ----
     "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d)),
     "q32_bool_query" -> ((s, d) => boolDocs(s, d)),
@@ -393,6 +446,67 @@ object SparkEntry {
     "q17_minhash_neardup" ->
       JaccardSql, // LSH recall is 1.0 on this corpus (verified in DedupSpec):
                   // candidates >= all true pairs at jaccard >= 0.5
+    // full simhash recomputation: md5-derived 64-bit token hashes
+    // (Hashing.md5Hash64 == ('0x'||substr(md5(t),1,16))::UBIGINT), weighted
+    // bit votes (ties -> 0), emitted as the same 16-hex-digit string.
+    // Assumes whitespace-tokenized corpus == analyzer tokens (true for the
+    // driver documents table; same assumption as q21).
+    "q18_simhash_sig" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM
+           (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+           GROUP BY 1,2),
+         h AS (SELECT doc_id, tf,
+                 ('0x'||substr(md5(term),1,16))::UBIGINT AS hv FROM tf),
+         bits AS (SELECT doc_id, b.b AS b,
+                    CASE WHEN sum(CASE WHEN (hv >> b.b) & 1 = 1
+                                       THEN tf ELSE -tf END) > 0
+                         THEN 1 ELSE 0 END AS bit
+                  FROM h CROSS JOIN (SELECT unnest(range(0,64)) AS b) b
+                  GROUP BY 1,2),
+         v AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN bit=1 THEN (1::UBIGINT << b)
+                               ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+               FROM bits GROUP BY 1)
+         SELECT doc_id, lower(lpad(to_hex(sh), 16, '0')) AS simhash FROM v""",
+    // full LSH recomputation: md5-derived hyperplanes (identical doubles to
+    // SimSearch.hyperplane), sign buckets per (table, plane), candidate
+    // bucket join, exact cosine re-rank — the oracle runs the ENTIRE ANN
+    // pipeline independently. dim=64 pinned by the driver embeddings table.
+    "q22_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         planes AS (
+           SELECT t, p, list(comp ORDER BY d) AS pv FROM (
+             SELECT t, p, d,
+               (CASE WHEN ub >= 9223372036854775808::UBIGINT
+                     THEN ub::HUGEINT - 18446744073709551616::HUGEINT
+                     ELSE ub::HUGEINT END)::DOUBLE / 9223372036854775807.0 AS comp
+             FROM (SELECT t.range AS t, p.range AS p, d.range AS d,
+                     ('0x'||substr(md5('plane:'||CAST(t.range*12+p.range AS VARCHAR)
+                       ||':'||CAST(d.range AS VARCHAR)),1,16))::UBIGINT AS ub
+                   FROM range(0,4) t, range(0,12) p, range(0,64) d))
+           GROUP BY 1,2),
+         buckets AS (
+           SELECT e.vec_id, pl.t AS tbl,
+                  CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+                                THEN (1::UBIGINT << pl.p) ELSE 0::UBIGINT END)
+                    AS UBIGINT) AS bucket
+           FROM e CROSS JOIN planes pl GROUP BY 1,2),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS nbr_id
+           FROM buckets p JOIN buckets n ON p.tbl = n.tbl AND p.bucket = n.bucket
+           WHERE p.vec_id < 10 AND n.vec_id <> p.vec_id),
+         scored AS (
+           SELECT c.probe_id, c.nbr_id,
+                  round(list_cosine_similarity(nv.v, pv.v), 6) AS cos
+           FROM cand c JOIN e pv ON pv.vec_id = c.probe_id
+                       JOIN e nv ON nv.vec_id = c.nbr_id),
+         ranked AS (
+           SELECT probe_id, nbr_id, cos,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, nbr_id) AS rnk
+           FROM scored)
+         SELECT probe_id, nbr_id, rnk, cos FROM ranked WHERE rnk <= 5""",
     "q16_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings)
@@ -463,7 +577,8 @@ object SparkEntry {
     "q27_score_transform" ->
       """SELECT event_id,
            round(LEAST(1.0, GREATEST(0.0,
-             (1.0 * (log10(value/1000.0) - 0.0)) / (-10.0) + 0.0)), 6) AS pv_score,
+             (1.0 * ((CASE WHEN value > 0 THEN log10(value/1000.0)
+                           ELSE -10.0 END) - 0.0)) / (-10.0) + 0.0)), 6) AS pv_score,
            round(LEAST(1.0, GREATEST(0.0,
              (1.0 * (value - 0.0)) / 500.0 + 0.0)), 6) AS norm_score,
            round(2.0 / (1.0 + exp(0.01 * (value - 1.0))), 3) AS sigmoid
@@ -578,7 +693,37 @@ object SparkEntry {
          WHERE doc_id IN (3,57,123,250,444,499)
            AND EXISTS (SELECT 1 FROM
                  (SELECT unnest(string_split(d.text,' ')) AS term) t
-                 WHERE t.term='data')"""
+                 WHERE t.term='data')""",
+    "q34_parent_merge" ->
+      """SELECT o_custkey,
+           count(*) AS n_orders,
+           round(max(o_totalprice),2) AS max_price,
+           round(min(o_totalprice),2) AS min_price,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ' ') AS statuses,
+           array_to_string(list_sort(list_distinct(flatten(
+             list([o_orderstatus, o_orderpriority])))), ' ') AS tags,
+           array_to_string(list_transform(
+             list_sort(list([-o_totalprice, CAST(o_orderkey AS DOUBLE),
+                             CAST(round(o_totalprice*100) AS DOUBLE)]))[1:2],
+             x -> printf('%d:%d', CAST(x[2] AS BIGINT), CAST(x[3] AS BIGINT))),
+             '|') AS top2
+         FROM orders GROUP BY 1""",
+    "q35_json_validate" ->
+      """SELECT CASE
+           WHEN NOT json_valid(raw) THEN 'bad_json'
+           WHEN json_extract(raw, '$.k') IS NULL THEN 'missing_k'
+           WHEN CAST(json_extract(raw, '$.k') AS INTEGER) > 90 THEN 'k_out_of_range'
+           ELSE 'valid' END AS explanation, count(*) AS n
+         FROM (SELECT CASE WHEN event_id % 7 = 0 THEN substr(props, 2)
+                           WHEN event_id % 11 = 0 THEN '{"wrong": 1}'
+                           ELSE props END AS raw FROM events)
+         GROUP BY 1""",
+    "q36_nfkd_cast" ->
+      """SELECT event_id,
+           strip_accents('Crème-Brûlée Ångström île façade ' || event_type) AS folded,
+           COALESCE(try_cast(event_type AS DOUBLE), -1.0) AS et_num,
+           COALESCE(try_cast(CAST(value AS VARCHAR) AS DOUBLE), -1.0) AS v_num
+         FROM events"""
   )
 
   private val JaccardSql =

@@ -22,4 +22,20 @@ object Hashing extends Serializable {
 
   def segmentOf(url: String, numSegments: Int): Int =
     math.floorMod(hash64(url), numSegments.toLong).toInt
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(s), big-endian, as a signed long. Used where an
+    * EXTERNAL engine must recompute the hash (the DuckDB correctness
+    * oracles): `('0x' || substr(md5(s), 1, 16))::UBIGINT` reproduces the
+    * same 64-bit pattern. Prefer [[hash64]] everywhere else (faster). */
+  def md5Hash64(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong
+  }
 }

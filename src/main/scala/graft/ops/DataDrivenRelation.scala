@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's data-driven-relation similarity self-join (J9), exact
@@ -15,39 +16,76 @@ import org.apache.spark.sql.functions._
   *    features (estimate_above_threshold, :146-153) — lossless, since
   *    sim² <= min(xs,ys)/max(xs,ys)
   *
-  * Blocking: pairs are generated by an equi-join on the shared feature
-  * (the reference buckets feature indices mod 1024, :212-216 — same
-  * equi-join-on-blocking-key shape; joining on the feature itself is the
-  * exact-recall variant, the mod-1024 bucket variant for wider vocabularies
-  * is `Dedup.minhashLshPairs`-style). The prune runs before the expensive
-  * exact similarity, exactly like the reference's candidate filter. */
+  * Blocking (the 100TB-shaped part): the reference buckets nonzero feature
+  * indices mod 1024 as candidate keys (digest_in_buckets, :212-216), which
+  * bounds the number of join keys but still floods the bucket holding a
+  * head feature. Here candidates come from weighted PREFIX FILTERING
+  * (Chaudhuri et al.'s SSJoin prefix filter, public literature), which is
+  * lossless for this metric and removes head-token skew outright:
+  *
+  *  - sim >= t  ⇒  iw >= c·(wsa+wsb) >= c·ws_x for both sides, where
+  *    iw = Σ w over shared tokens and c = t²/(1+t²)  (from
+  *    iw(1+t²) >= t²(wsa+wsb))
+  *  - order every doc's tokens canonically by (w asc, tok asc) — rarest
+  *    first — and let its prefix be the minimal head of that order whose
+  *    remaining suffix weighs < c·ws. If every shared token of a
+  *    qualifying pair sat in a suffix, the shared weight would be < c·ws —
+  *    contradiction; and since prefixes are downward closed in one global
+  *    order, the MINIMUM shared token lies in BOTH prefixes
+  *  - so the pair-generating equi-join runs on prefix tokens only. Head
+  *    tokens (df/n ≈ 1, the Zipf skew) land in suffixes and are NEVER join
+  *    keys; they still count fully in iw/ws for the surviving candidates
+  *
+  * The join carries no broadcast hint — the vocabulary-sized weights table
+  * must not be forced driver-side at web scale; AQE picks the strategy. */
 object DataDrivenRelation {
 
   def weightedOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.19): DataFrame = {
     val n = docs.count().toDouble
+    // loosen by the 6-dp rounding epsilon of the final filter so both the
+    // prefix blocking and the ratio prune stay lossless w.r.t. the rounded
+    // similarity threshold
+    val tEff = threshold - 1e-6
+    val c = tEff * tEff / (1.0 + tEff * tEff)
+
     val toks = docs.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
     val weights = toks.groupBy("tok")
       .agg((count(lit(1)) / lit(n)).as("w")) // df/n — reference's local idf
-    val tw = toks.join(broadcast(weights), "tok")
+    val tw = toks.join(weights, "tok")
     val sums = tw.groupBy("id").agg(sum("w").as("ws"))
 
-    val inter = tw.as("a").join(tw.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum(col("a.w")).as("iw"))
+    // canonical prefix per doc: rare-first cumulative weight; a row is in
+    // the prefix iff the suffix starting AT it still weighs >= c·ws
+    val ord = Window.partitionBy(col("id")).orderBy(col("w").asc, col("tok").asc)
+    val prefix = tw.join(sums, "id")
+      .withColumn("cum", sum("w").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("ws") - col("cum") + col("w") >= lit(c) * col("ws"))
+      .select("id", "tok")
 
-    // loosen the bound by the final-filter rounding epsilon so the prune
-    // stays lossless w.r.t. the 6-dp-rounded similarity threshold
-    val tEff = threshold - 1e-6
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // lossless ws-ratio prune BEFORE the expensive intersection sums
     val ratioBound = (1.0 / tEff) * (1.0 / tEff)
-    inter
+    val pruned = candidates
       .join(sums.withColumnRenamed("id", "id_a").withColumnRenamed("ws", "wsa"), "id_a")
       .join(sums.withColumnRenamed("id", "id_b").withColumnRenamed("ws", "wsb"), "id_b")
-      // lossless candidate prune before the exact similarity
       .filter(greatest(col("wsa"), col("wsb")) / least(col("wsa"), col("wsb"))
         < lit(ratioBound))
+
+    // exact shared-token weight for the surviving pairs only
+    val inter = pruned
+      .join(tw.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(tw.select(col("id").as("id_b"), col("tok"), col("w")),
+        Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "wsa", "wsb")
+      .agg(sum(col("w")).as("iw"))
+
+    inter
       .withColumn("sim", round(sqrt(col("iw") / (col("wsa") + col("wsb") - col("iw"))), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

@@ -121,11 +121,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the token multiset (weighted bit-vote). */
+  /** 64-bit SimHash over the token multiset (weighted bit-vote). Token
+    * hashes are md5-derived (Hashing.md5Hash64) so the DuckDB oracle can
+    * recompute full signatures from the raw text (q18). */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
     graft.analysis.Analyzer.termFreqs(text).foreach { case (t, f) =>
-      val h = Hashing.hash64(t)
+      val h = Hashing.md5Hash64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += f else votes(b) -= f

@@ -62,24 +62,135 @@ object SimSearch {
       .select("probe_id", "nbr_id", "rnk", "cos")
   }
 
+  /** One replicated input row of the blocked all-pairs join. */
+  private[ops] final case class BlockedVec(
+      bi: Int, bj: Int, blk: Int, id: Long, v: Array[Double])
+
   /** All pairs (a<b) with cosine >= threshold — embedding near-dup dedup.
-    * Exact; `filterExpr` lets callers bound the candidate set (e.g. sampled
-    * ids) so the O(n²) stays sane per partition-block at bench scale. */
+    *
+    * EXACT at any threshold, with no cartesian plan: a dense-vector cosine
+    * threshold admits no sound LSH/blocking prune unless the data has a
+    * similarity gap (which a general corpus does not), so the honest
+    * scale-out shape is the classic blocked (triangle) all-pairs join: ids
+    * hash into K blocks; every unordered block pair (bi <= bj) is one task
+    * receiving exactly blocks bi and bj (each vector replicated K ways —
+    * sqrt-of-tasks replication); each task compares its <=(2n/K)² local
+    * pairs in a primitive loop. Compare count stays O(n²) — that is
+    * inherent to exactness — but memory per task is O(2n/K · dim), work is
+    * evenly partitioned across K(K+1)/2 tasks with no skew (hash blocks),
+    * and Catalyst sees one exchange, never a BroadcastNestedLoopJoin.
+    *
+    * Per-pair prune (lossless): with head = first 8 components,
+    * dot <= dot_head + ||a_tail||·||b_tail|| (Cauchy-Schwarz), so a pair
+    * whose bound is below the threshold skips the full dot product.
+    *
+    * For high thresholds with a known gap, prefer the approximate
+    * hyperplane-LSH candidates + exact verify (`annTopK` shape, or
+    * `Dedup.minhashLshPairs` for text) — candidate volume there is
+    * sub-quadratic, which exactness at arbitrary thresholds cannot be. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineFast(col("a.v"), col("b.v")), 6).as("cos"))
+      threshold: Double, numBlocks: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val K = numBlocks
+    val headDims = 8
+    // margin: the 6-dp rounding applied to the emitted cosine can raise it
+    // by at most 5e-7, so prune/prefilter against threshold - 1e-6
+    val tEff = threshold - 1e-6
+
+    val blocked = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("blk", pmod(hash(col("id")), lit(K)))
+      .select(col("id"), col("v"), col("blk"),
+        explode(sequence(lit(0), lit(K - 1))).as("other"))
+      .select(
+        least(col("blk"), col("other")).as("bi"),
+        greatest(col("blk"), col("other")).as("bj"),
+        col("blk"), col("id"), col("v"))
+      .as[BlockedVec]
+
+    val pairs = blocked
+      .groupByKey(r => (r.bi, r.bj))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[BlockedVec]) =>
+        val (bi, bj) = key
+        val left = scala.collection.mutable.ArrayBuffer.empty[BlockedVec]
+        val right = scala.collection.mutable.ArrayBuffer.empty[BlockedVec]
+        it.foreach { r =>
+          if (r.blk == bi) left += r
+          // bi == bj: the block self-pairs; don't double-add
+          if (r.blk == bj && bj != bi) right += r
+        }
+        val a = left.toArray
+        val b = if (bi == bj) a else right.toArray
+        // precompute norms + tail norms once per vector
+        def norms(xs: Array[BlockedVec]): (Array[Double], Array[Double]) = {
+          val full = new Array[Double](xs.length)
+          val tail = new Array[Double](xs.length)
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).v
+            var nf = 0.0
+            var nt = 0.0
+            var d = 0
+            while (d < v.length) {
+              val x = v(d) * v(d)
+              nf += x
+              if (d >= headDims) nt += x
+              d += 1
+            }
+            full(i) = math.sqrt(nf)
+            tail(i) = math.sqrt(nt)
+            i += 1
+          }
+          (full, tail)
+        }
+        val (na, ta) = norms(a)
+        val (nb, tb) = if (bi == bj) (na, ta) else norms(b)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < a.length) {
+          val va = a(i).v
+          var j = if (bi == bj) i + 1 else 0
+          while (j < b.length) {
+            if (a(i).id != b(j).id) {
+              val vb = b(j).v
+              val denom = na(i) * nb(j)
+              // Cauchy-Schwarz head/tail bound before the full dot
+              var head = 0.0
+              var d = 0
+              val hd = math.min(headDims, va.length)
+              while (d < hd) { head += va(d) * vb(d); d += 1 }
+              if ((head + ta(i) * tb(j)) / denom >= tEff) {
+                var dot = head
+                while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+                val cos = dot / denom
+                if (cos >= tEff) {
+                  val (x, y) =
+                    if (a(i).id < b(j).id) (a(i).id, b(j).id)
+                    else (b(j).id, a(i).id)
+                  out += ((x, y, cos))
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+
+    pairs.toDF("id_a", "id_b", "cos_raw")
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** Deterministic random hyperplanes: component h of plane p is a
-    * hash-derived standard-ish uniform in [-1, 1). */
-  private def hyperplane(planeIdx: Int, dim: Int): Array[Double] =
+  /** Deterministic random hyperplanes: component d of plane p is an
+    * md5-derived uniform in [-1, 1] — md5 (not the internal hash) so the
+    * DuckDB oracle can regenerate the identical planes and recompute the
+    * whole LSH bucketing from SQL (q22). */
+  private[ops] def hyperplane(planeIdx: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>
-      val h = graft.index.Hashing.hash64(s"plane:$planeIdx:$d")
+      val h = graft.index.Hashing.md5Hash64(s"plane:$planeIdx:$d")
       (h.toDouble / Long.MaxValue.toDouble)
     }
 

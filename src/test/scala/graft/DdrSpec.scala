@@ -42,6 +42,33 @@ class DdrSpec extends SparkSuite {
     got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9, k) }
   }
 
+  test("prefix blocking is lossless under extreme head-token skew") {
+    // every doc shares the universal tokens; near-dup pairs overlap ONLY on
+    // heavy tokens — the worst case for rare-first prefix filtering
+    val skewed = ((0 until 40).map { i =>
+      (i.toLong, s"the of and un$i")           // unique tail token each
+    } ++ Seq((100L, "the of and"), (101L, "the of and"),  // identical heads-only
+      (102L, "the of and x1 x2"), (103L, "the of and x1 x2")))
+      .toDF("id", "text")
+    val rows = skewed.as[(Long, String)].collect()
+    val sets = rows.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val n = rows.length.toDouble
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val w = df.map { case (t, d) => t -> d / n }
+    def naiveSkew(threshold: Double): Set[(Long, Long)] =
+      (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+        iw = sa.intersect(sb).iterator.map(w).sum
+        uw = sa.union(sb).iterator.map(w).sum
+        if math.rint(math.sqrt(iw / uw) * 1e6) / 1e6 >= threshold
+      } yield (a, b)).toSet
+    Seq(0.5, 0.9).foreach { t =>
+      val got = DataDrivenRelation.weightedOverlapPairs(skewed, "id", "text", t)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      assert(got === naiveSkew(t), s"threshold=$t")
+    }
+  }
+
   test("prune is lossless at a high threshold too") {
     val got = DataDrivenRelation.weightedOverlapPairs(docs, "id", "text", 0.8)
       .as[(Long, Long, Double)].collect()

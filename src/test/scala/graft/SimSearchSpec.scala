@@ -52,15 +52,31 @@ class SimSearchSpec extends SparkSuite {
     }
   }
 
-  test("near-dup pairs are exact and symmetric-free (a<b)") {
-    val pairs = SimSearch.nearDupPairs(emb, "vec_id", "embedding", 0.9)
-      .as[(Long, Long, Double)].collect()
-    assert(pairs.nonEmpty, "clustered vectors must have close pairs")
-    pairs.foreach { case (a, b, c) =>
-      assert(a < b)
-      assert(math.abs(c - math.rint(cosine(vectors(a.toInt)._2,
-        vectors(b.toInt)._2) * 1e6) / 1e6) < 1e-9)
+  test("near-dup pairs equal brute force exactly (completeness + precision)") {
+    // brute-force reference over every unordered pair
+    def brute(threshold: Double): Set[(Long, Long, Double)] =
+      (for {
+        i <- vectors.indices
+        j <- (i + 1) until vectors.size
+        c = math.rint(cosine(vectors(i)._2, vectors(j)._2) * 1e6) / 1e6
+        if c >= threshold
+      } yield (vectors(i)._1, vectors(j)._1, c)).toSet
+    // several thresholds, including a low one where the candidate prune
+    // must still be lossless, and several block counts (more blocks than
+    // rows included)
+    for (t <- Seq(0.9, 0.5, 0.2); k <- Seq(1, 4, 16, 512)) {
+      val got = SimSearch.nearDupPairs(emb, "vec_id", "embedding", t, numBlocks = k)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === brute(t), s"threshold=$t blocks=$k")
     }
+  }
+
+  test("near-dup plan has no cartesian/broadcast-nested-loop join") {
+    val p = SimSearch.nearDupPairs(emb, "vec_id", "embedding", 0.5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("LSH ANN achieves >=0.6 recall@10 on clustered vectors") {
