@@ -351,6 +351,17 @@ object SparkEntry {
         Normalize.saferDouble(col("event_type"), -1.0).as("et_num"),
         Normalize.saferDouble(col("value").cast("string"), -1.0).as("v_num"))),
 
+    // ---- J4 ambiguity-checked lookup (reference LookupTables.py:91-116:
+    // id-resolution joins fail fast on >1 dim hit instead of fanning out;
+    // n_hits carries the miss/clean distinction like the dual-route) ----
+    "q37_checked_lookup" -> ((s, d) => {
+      val dim = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      graft.ops.Lookup.ambiguityChecked(
+        t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("o_custkey"), dim, "c_custkey", strict = true)
+        .select(col("o_orderkey"), col("c_mktsegment"), col("n_hits"))
+    }),
+
     // ---- the fulltext engine itself ----
     "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d)),
     "q32_bool_query" -> ((s, d) => boolDocs(s, d)),
@@ -718,6 +729,10 @@ object SparkEntry {
                            WHEN event_id % 11 = 0 THEN '{"wrong": 1}'
                            ELSE props END AS raw FROM events)
          GROUP BY 1""",
+    "q37_checked_lookup" ->
+      """SELECT o_orderkey, c_mktsegment,
+           CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS n_hits
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
     "q36_nfkd_cast" ->
       """SELECT event_id,
            strip_accents('Crème-Brûlée Ångström île façade ' || event_type) AS folded,

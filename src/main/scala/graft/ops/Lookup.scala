@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J4: ambiguity-checked enrichment lookup — the reference's id-resolution
+  * joins error when a key matches MORE than one dimension row instead of
+  * silently fanning out (mrtarget/common/LookupTables.py:91-116: "found
+  * multiple hits" ValueError; used from modules/Evidences.py:232-261 after
+  * exploding accession lists).
+  *
+  * Distributed form: the dim side is aggregated to one row per key with a
+  * match count (map-side combine, no skew risk), the join stays a plain
+  * equi-join, and ambiguity surfaces either as a tagged column (`strict =
+  * false`, the dual-route shape) or as a fail-fast exception naming an
+  * offending key (`strict = true`, the reference's behavior). The check
+  * costs one aggregation over the dim side only — never a second pass over
+  * the fact table. */
+object Lookup {
+
+  /** Left-join `facts` to `dim` on factKey == dimKey. Output keeps every
+    * fact row, adds dim columns (null when unmatched) and `n_hits`
+    * (0 = miss, 1 = clean, >1 would be ambiguous). */
+  def ambiguityChecked(
+      facts: DataFrame,
+      factKey: Column,
+      dim: DataFrame,
+      dimKey: String,
+      strict: Boolean = true): DataFrame = {
+    val counted = dim.groupBy(col(dimKey)).agg(
+      count(lit(1)).as("n_hits"),
+      min(struct(dim.columns.map(col): _*)).as("_dimrow")) // min = deterministic pick
+    if (strict) {
+      val dup = counted.filter(col("n_hits") > 1).select(col(dimKey)).limit(1)
+        .collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"ambiguous lookup: key '${dup(0).get(0)}' has multiple $dimKey hits")
+    }
+    facts.join(counted, factKey === counted(dimKey), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .drop(dimKey)
+      .select(col("*"), col("_dimrow.*")).drop("_dimrow")
+  }
+}

@@ -160,14 +160,28 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           e: java.util.Map.Entry[String, Array[PostingRow]]): Boolean =
         size() > servedTermCap
     }
-  private var lensCache: Map[Int, Array[Int]] = null
+  // doc-length tables are fetched per candidate segment and LRU-bounded:
+  // an all-segments eager collect would hold O(numDocs) ints on the driver
+  // forever — GBs at 10⁹ docs. The distributed path never touches this.
+  private val lensSegCap = 4096
+  private val lensCache =
+    new java.util.LinkedHashMap[Int, Array[Int]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, Array[Int]]): Boolean =
+        size() > lensSegCap
+    }
 
-  private def fetchLens(): Map[Int, Array[Int]] = synchronized {
-    if (lensCache == null)
-      lensCache = postings.filter(col("term") === IndexBuilder.TermLens)
-        .collect().map(r => r.segId -> Varint.decodeInts(r.docBytes)).toMap
-    lensCache
+  private def fetchLens(segs: Seq[Int]): Map[Int, Array[Int]] = synchronized {
+    val missing = segs.filterNot(lensCache.containsKey)
+    if (missing.nonEmpty)
+      postings.filter(col("term") === IndexBuilder.TermLens &&
+          col("segId").isin(missing: _*))
+        .collect().foreach(r => lensCache.put(r.segId, Varint.decodeInts(r.docBytes)))
+    segs.flatMap(s => Option(lensCache.get(s)).map(s -> _)).toMap
   }
+
+  /** Test hook: current number of cached per-segment doc-length tables. */
+  private[graft] def lensCacheSize: Int = synchronized(lensCache.size())
 
   private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] =
     synchronized {
@@ -352,7 +366,6 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case None => return Array.empty
       case Some(x) => x
     }
-    val lens = fetchLens()
     val wantedTerms = c.allTerms.toSeq
     val rowsByTerm = fetchPostings(wantedTerms)
 
@@ -365,6 +378,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         else c.scoringTerms.iterator.flatMap(t => rowsByTerm(t).map(_.segId)).toSet
       (if (c.hasIds) base.intersect(c.idsBySeg.keySet) else base).toSeq.sorted
     }
+    // only the candidate segments' doc-length tables are pulled (LRU-kept)
+    val lens = fetchLens(candSegs)
     // segments score independently; parallelize across driver cores (the
     // per-segment scorer state is private; merge order is pinned afterwards)
     val hits = candSegs.par.flatMap { segId =>

@@ -256,6 +256,21 @@ class IndexSearchSpec extends SparkSuite {
     assert(engine.map(_.score).toSeq === oracle.map(_.score).toSeq)
   }
 
+  test("served path fetches doc-length tables only for candidate segments") {
+    val handle = new graft.search.IndexHandle(spark, indexDir, warm = false)
+    val term = "w500x" // tail term: present in few docs => few segments
+    val segsWithTerm = docs
+      .filter(d => graft.analysis.Analyzer.tokenize(d._2).contains(term))
+      .map(d => graft.index.Hashing.segmentOf(d._1, cfg.numSegments))
+      .distinct.size
+    assert(segsWithTerm > 0 && segsWithTerm < cfg.numSegments,
+      s"fixture assumption: $term must touch some but not all segments")
+    assert(handle.lensCacheSize === 0)
+    val hits = handle.servedTopK(term, 10)
+    assert(hits.nonEmpty)
+    assert(handle.lensCacheSize === segsWithTerm)
+  }
+
   test("per-segment lineage metrics are consistent") {
     val snap = Snapshot.latest(indexDir).get
     assert(snap.segments.map(_.docs).sum === 600)

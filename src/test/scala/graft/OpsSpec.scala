@@ -101,4 +101,26 @@ class OpsSpec extends SparkSuite {
       .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(fp === expected)
   }
+
+  test("ambiguity-checked lookup: clean, miss, and duplicate-key behaviors") {
+    import graft.ops.Lookup
+    val facts = Seq((1L, "k1"), (2L, "k2"), (3L, "k3")).toDF("fid", "fk")
+    val cleanDim = Seq(("k1", "a"), ("k2", "b")).toDF("dk", "payload")
+    val got = Lookup.ambiguityChecked(facts, col("fk"), cleanDim, "dk")
+      .select("fid", "payload", "n_hits").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 1L), (2L, "b", 1L), (3L, null, 0L)))
+
+    val dupDim = Seq(("k1", "a"), ("k1", "a2"), ("k2", "b")).toDF("dk", "payload")
+    val ex = intercept[IllegalStateException] {
+      Lookup.ambiguityChecked(facts, col("fk"), dupDim, "dk")
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+    // non-strict: ambiguity surfaces as n_hits > 1 with a deterministic pick
+    val tagged = Lookup.ambiguityChecked(facts, col("fk"), dupDim, "dk",
+        strict = false)
+      .select("fid", "payload", "n_hits").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(tagged.toSeq === Seq((1L, "a", 2L), (2L, "b", 1L), (3L, null, 0L)))
+  }
 }
