@@ -49,7 +49,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "2000000").toLong
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
     // always work (and later delete) a dedicated subdirectory, never the
     // user-supplied path itself — GRAFT_BENCH_TMP=/tmp must not wipe /tmp
     val baseRoot = sys.env.getOrElse("GRAFT_BENCH_TMP",
@@ -59,11 +59,72 @@ object Bench {
     val localDir = s"$base/spark-local"
     val cfg = IndexConfig(numSegments = 256, blockSize = 128)
 
-    // ---- operator queries at the requested parallelism
+    // ---- stage the corpus once (not timed)
     var spark = session(cpus, localDir)
     spark.sparkContext.setLogLevel("WARN")
-    // throwaway warmup so the first measured query doesn't absorb session
-    // init + JIT (round-1 misread: q01 at 6.5s was warmup, not aggregation)
+    val corpusDir = s"$base/corpus-$benchDocs"
+    if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
+      Corpus.pages(spark, benchDocs, seed = 42, numPartitions = 32)
+        .select("url", "text").write.mode("overwrite").parquet(corpusDir)
+
+    // ---- build throughput: the N->4N efficiency is a RATIO, and the
+    // dominant error source on this shared-host VM is machine-speed DRIFT
+    // between the two levels' measurement windows. So the levels are
+    // measured as INTERLEAVED PAIRS — (4,16),(4,16),... — and the
+    // efficiency is the median of per-pair ratios: drift hits both sides
+    // of each pair equally and cancels; a median absorbs one bad pair.
+    // Throughput runs come FIRST (before the query sweep) so builds see a
+    // young heap; sessions restart and the heap GCs between levels.
+    var lastIndexDir: String = null
+    var repIdx = 0
+    def buildOnce(n: Int): Double = {
+      spark.stop()
+      System.gc()
+      spark = session(n, localDir)
+      spark.sparkContext.setLogLevel("WARN")
+      val input = spark.read.parquet(corpusDir)
+      repIdx += 1
+      val dir = Files.createTempDirectory(Paths.get(base), s"idx-$n-$repIdx").toString
+      val t0 = System.nanoTime()
+      IndexBuilder.build(spark, input, dir, cfg)
+      lastIndexDir = dir
+      (System.nanoTime() - t0) / 1e9
+    }
+    def warmLevel(n: Int): Unit = { // JIT + shuffle-path warmup per level
+      spark.stop()
+      spark = session(n, localDir)
+      spark.sparkContext.setLogLevel("WARN")
+      val warm = Files.createTempDirectory(Paths.get(base), s"warm-$n").toString
+      IndexBuilder.build(spark, spark.read.parquet(corpusDir).limit(20000), warm, cfg)
+    }
+    warmLevel(4)
+    warmLevel(16)
+    // alternate the within-pair order so monotone host-speed drift during a
+    // pair biases alternate pairs in opposite directions and cancels in the
+    // median (the host is a shared VM; CPU steal is the dominant noise)
+    val pairs = (1 to reps).map { i =>
+      if (i % 2 == 1) (buildOnce(4), buildOnce(16))
+      else { val t16 = buildOnce(16); (buildOnce(4), t16) }
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val tp4 = benchDocs / median(pairs.map(_._1))
+    val tp16 = benchDocs / median(pairs.map(_._2))
+    // efficiency from paired ratios (drift-cancelling), not from the two
+    // medians — report the band across pairs alongside the point estimate
+    val effPairs = pairs.map { case (t4, t16) => t4 / (4.0 * t16) }.sorted
+    val eff416 = median(effPairs)
+    val tp32 = {
+      warmLevel(32)
+      val times = (1 to math.max(1, reps - 1)).map(_ => buildOnce(32))
+      benchDocs / median(times)
+    }
+    val eff832 = (tp32 / tp4) / 8.0 // informational: 4->32 at ideal 8x
+
+    // ---- operator queries at the requested parallelism (after the
+    // throughput phase; first query still warms up on a fresh session)
+    spark.stop()
+    spark = session(cpus, localDir)
+    spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -72,38 +133,6 @@ object Bench {
                catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-
-    // ---- stage the corpus once (not timed)
-    val corpusDir = s"$base/corpus-$benchDocs"
-    if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
-      Corpus.pages(spark, benchDocs, seed = 42, numPartitions = 32)
-        .select("url", "text").write.mode("overwrite").parquet(corpusDir)
-
-    // ---- build throughput per parallelism level (warmup + median-of-reps;
-    // median is robust to outliers in BOTH directions, unlike min, which
-    // matters because the N->4N efficiency is a ratio of two levels)
-    var lastIndexDir: String = null
-    def throughputAt(n: Int, nReps: Int): Double = {
-      spark.stop()
-      spark = session(n, localDir)
-      spark.sparkContext.setLogLevel("WARN")
-      val input = spark.read.parquet(corpusDir)
-      val warm = Files.createTempDirectory(Paths.get(base), s"warm-$n").toString
-      IndexBuilder.build(spark, input.limit(20000), warm, cfg)
-      val times = (1 to nReps).map { r =>
-        val dir = Files.createTempDirectory(Paths.get(base), s"idx-$n-$r").toString
-        val t0 = System.nanoTime()
-        IndexBuilder.build(spark, input, dir, cfg)
-        lastIndexDir = dir
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      benchDocs / times(times.length / 2)
-    }
-    val tp4 = throughputAt(4, reps)
-    val tp16 = throughputAt(16, reps)
-    val tp32 = throughputAt(32, math.max(1, reps - 1))
-    val eff416 = (tp16 / tp4) / 4.0
-    val eff832 = (tp32 / tp4) / 8.0 // informational: 4->32 at ideal 8x
 
     // ---- warm query latency on the last (local[32]) index
     val handle = new IndexHandle(spark, lastIndexDir)
@@ -129,7 +158,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f}""")
     spark.stop()
     // free the tmpfs space
     scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()

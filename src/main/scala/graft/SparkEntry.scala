@@ -246,6 +246,13 @@ object SparkEntry {
           .as("norm_score"),
         Scoring.sigmoidScalingExpr(col("value")).as("sigmoid"))),
 
+    // ---- per-datasource scoring dispatch tree (§2.7, EvidenceString.py
+    // :570-748 shape: branch per datasource, codegen when/otherwise) ----
+    "q38_datasource_score" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        round(Scoring.datasourceScoreExpr(col("event_type"), col("value")), 6)
+          .as("score"))),
+
     // ---- A3 hierarchy: datasource -> datatype -> overall harmonic rollup ----
     "q28_harmonic_hierarchy" -> ((s, d) => {
       val e = t(s, d, "events")
@@ -308,6 +315,7 @@ object SparkEntry {
         count(lit(1)).as("n_orders"),
         round(max("o_totalprice"), 2).as("max_price"),
         round(min("o_totalprice"), 2).as("min_price"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_date"),
         concat_ws(" ", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
         concat_ws(" ", array_sort(array_distinct(flatten(collect_list(
           array(col("o_orderstatus"), col("o_orderpriority"))))))).as("tags"),
@@ -710,6 +718,7 @@ object SparkEntry {
            count(*) AS n_orders,
            round(max(o_totalprice),2) AS max_price,
            round(min(o_totalprice),2) AS min_price,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
            array_to_string(list_sort(list(DISTINCT o_orderstatus)), ' ') AS statuses,
            array_to_string(list_sort(list_distinct(flatten(
              list([o_orderstatus, o_orderpriority])))), ' ') AS tags,
@@ -733,6 +742,19 @@ object SparkEntry {
       """SELECT o_orderkey, c_mktsegment,
            CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS n_hits
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "q38_datasource_score" ->
+      """SELECT event_id, round(CASE
+           WHEN event_type='click' THEN LEAST(1.0, GREATEST(0.0,
+             (1.0 * ((CASE WHEN value > 0 THEN log10(value/1000.0)
+                           ELSE -10.0 END) - 0.0)) / (-10.0) + 0.0))
+           WHEN event_type='view' THEN LEAST(1.0, value/100.0)
+           WHEN event_type='purchase' THEN
+             LEAST(1.0, GREATEST(0.5, 0.5*(value-0.0)/500.0 + 0.5)) * 0.7
+           WHEN event_type='signup' THEN
+             CASE WHEN value < 100 THEN 0.1 WHEN value < 300 THEN 0.5 ELSE 1.0 END
+           ELSE round(2.0 / (1.0 + exp(0.01 * (value - 1.0))), 3)
+           END, 6) AS score
+         FROM events""",
     "q36_nfkd_cast" ->
       """SELECT event_id,
            strip_accents('Crème-Brûlée Ångström île façade ' || event_type) AS folded,

@@ -74,6 +74,22 @@ object Scoring {
   def sigmoidScalingExpr(value: Column, midValue: Double = 100.0, precision: Int = 3): Column =
     bround(lit(2.0) / (lit(1.0) + exp(lit(1.0 / midValue) * (value - lit(1.0)))), precision)
 
+  /** The reference's per-datasource scoring dispatch
+    * (common/EvidenceString.py:570-748): each datasource selects its own
+    * scoring subtree — log10-rescaled p-values (gwas :727-735), a capped
+    * /100 linear score (europepmc :689-695), a phase-product (drug
+    * :574-577), a fixed significance->score map (eva :611-643), sigmoid
+    * otherwise. One when/otherwise expression tree, fully codegen (no UDF);
+    * the driver's event_type plays the datasource role. */
+  def datasourceScoreExpr(kind: Column, v: Column): Column =
+    when(kind === "click", pValueToScoreExpr(v / lit(1000.0)))
+      .when(kind === "view", least(lit(1.0), v / lit(100.0)))
+      .when(kind === "purchase",
+        renormalizeExpr(v, (0.0, 500.0), (0.5, 1.0)) * lit(0.7))
+      .when(kind === "signup",
+        when(v < 100.0, lit(0.1)).when(v < 300.0, lit(0.5)).otherwise(lit(1.0)))
+      .otherwise(sigmoidScalingExpr(v))
+
   /** Content-addressed document id: md5 of the canonical (sorted-key) JSON,
     * as the reference derives evidence ids (mrtarget/modules/Evidences.py:
     * 127-132). Field order is pinned by the struct schema. */

@@ -94,6 +94,32 @@ object Snapshot {
     }
   }
 
+  /** S13: persist a snapshot's per-segment QC metrics as TSV (the
+    * reference writes QC metric tables to TSV for release review,
+    * mrtarget/modules/QC.py:27-126). */
+  def writeMetricsTsv(indexDir: String, snap: SnapshotMeta): Path = {
+    val dir = Paths.get(indexDir, "qc")
+    Files.createDirectories(dir)
+    val f = dir.resolve(f"metrics-${snap.id}%05d.tsv")
+    val header = "segId\tdocs\tterms\tpostings\tsumDocLen\tdataDir"
+    val rows = snap.segments.map(m =>
+      s"${m.segId}\t${m.docs}\t${m.terms}\t${m.postings}\t${m.sumDocLen}\t${m.dataDir}")
+    Files.writeString(f, (header +: rows).mkString("\n") + "\n")
+    f
+  }
+
+  /** S13: persist the cross-snapshot QC diff as TSV (release-over-release
+    * compare, reference QC.py:73-126 compare_with). */
+  def writeDiffTsv(indexDir: String, old: SnapshotMeta, neu: SnapshotMeta): Path = {
+    val dir = Paths.get(indexDir, "qc")
+    Files.createDirectories(dir)
+    val f = dir.resolve(f"diff-${old.id}%05d-${neu.id}%05d.tsv")
+    val header = "segId\tmetric\told\tnew"
+    val rows = metricsDiff(old, neu).map { case (seg, m, a, b) => s"$seg\t$m\t$a\t$b" }
+    Files.writeString(f, (header +: rows).mkString("\n") + "\n")
+    f
+  }
+
   def latest(indexDir: String): Option[SnapshotMeta] = {
     val ptr = snapsDir(indexDir).resolve("LATEST")
     if (!Files.exists(ptr)) None

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexConfig, Snapshot}
 import graft.search.{OracleSearch, Searcher}
@@ -269,6 +271,25 @@ class IndexSearchSpec extends SparkSuite {
     val hits = handle.servedTopK(term, 10)
     assert(hits.nonEmpty)
     assert(handle.lensCacheSize === segsWithTerm)
+  }
+
+  test("QC metrics + cross-snapshot diff persist as TSV (S13)") {
+    val dir = Files.createTempDirectory("graft-qc").toString
+    val base = Seq(("https://q.org/1", "data spark"), ("https://q.org/2", "table merge"))
+    val c = IndexConfig(numSegments = 2, blockSize = 16)
+    val snap1 = IndexBuilder.build(spark, base.toDF("url", "text"), dir, c)
+    val f1 = Snapshot.writeMetricsTsv(dir, snap1)
+    val lines = java.nio.file.Files.readAllLines(f1)
+    assert(lines.get(0) === "segId\tdocs\tterms\tpostings\tsumDocLen\tdataDir")
+    assert(lines.size === 1 + snap1.segments.size)
+    val snap2 = IndexBuilder.append(spark,
+      Seq(("https://q.org/3", "data window")).toDF("url", "text"), dir)
+    val f2 = Snapshot.writeDiffTsv(dir, snap1, snap2)
+    val diff = java.nio.file.Files.readAllLines(f2)
+    assert(diff.get(0) === "segId\tmetric\told\tnew")
+    // the appended generation shows up as added segments with doc deltas
+    assert(diff.size > 1)
+    assert(diff.asScala.drop(1).exists(_.contains("added")))
   }
 
   test("per-segment lineage metrics are consistent") {
