@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.corpus.Corpus
-import graft.index.{IndexBuilder, IndexConfig}
+import graft.index.{Deletes, IndexBuilder, IndexConfig}
 import graft.functions.{Normalize, Scoring}
 import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
 import graft.search.{BoolQuery, Searcher}
@@ -36,14 +36,40 @@ object SparkEntry {
     * zero-padded-url order == doc_id order, so score ties break identically
     * to the SQL oracles' ORDER BY score DESC, doc_id. */
   private val docIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def documentsIndex(spark: SparkSession, dir: String): String =
-    docIdxCache.computeIfAbsent(dir, _ => {
+  private def docsAsPages(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(format_string("doc://%08d", col("doc_id")).as("url"), col("text"))
+  private def cachedIndex(key: String)(make: String => Unit): String =
+    docIdxCache.computeIfAbsent(key, _ => {
       val idx = Files.createTempDirectory("graft-docs-idx").toString
-      val docs = t(spark, dir, "documents")
-        .select(format_string("doc://%08d", col("doc_id")).as("url"), col("text"))
-      IndexBuilder.build(spark, docs, idx, IndexConfig(numSegments = 1, blockSize = 64))
+      make(idx)
       idx
     })
+  private def documentsIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(dir) { idx =>
+      IndexBuilder.build(spark, docsAsPages(spark, dir), idx,
+        IndexConfig(numSegments = 1, blockSize = 64))
+    }
+
+  /** q39: same documents index with every doc containing "merge"
+    * tombstoned (ES delete-by-query semantics: excluded from results, but
+    * N/avgdl/df still count them until purge). */
+  private def tombstonedIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(s"$dir#tombstoned") { idx =>
+      IndexBuilder.build(spark, docsAsPages(spark, dir), idx,
+        IndexConfig(numSegments = 1, blockSize = 64))
+      Deletes.deleteByQuery(spark, idx, BoolQuery(filter = Seq("merge")))
+    }
+
+  /** q40: the tombstones expunged — stats now cover live docs only, like a
+    * fresh build over them. */
+  private def purgedIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(s"$dir#purged") { idx =>
+      IndexBuilder.build(spark, docsAsPages(spark, dir), idx,
+        IndexConfig(numSegments = 1, blockSize = 64))
+      Deletes.deleteByQuery(spark, idx, BoolQuery(filter = Seq("merge")))
+      Deletes.purge(spark, idx)
+    }
 
   private def hitsToDocIds(spark: SparkSession,
       hits: Array[graft.search.Hit], withScore: Boolean): DataFrame = {
@@ -373,7 +399,15 @@ object SparkEntry {
     // ---- the fulltext engine itself ----
     "q21_bm25_topk" -> ((s, d) => bm25Docs(s, d)),
     "q32_bool_query" -> ((s, d) => boolDocs(s, d)),
-    "q33_ids_filter" -> ((s, d) => idsDocs(s, d))
+    "q33_ids_filter" -> ((s, d) => idsDocs(s, d)),
+
+    // ---- delete lifecycle (Deletes.scala): soft-deleted docs excluded
+    // with Lucene stats semantics (q39), then expunged so stats re-derive
+    // over live docs (q40) ----
+    "q39_delete_search" -> ((s, d) => hitsToDocIds(s,
+      Searcher.topK(s, tombstonedIndex(s, d), Bm25Query, 20), withScore = true)),
+    "q40_purge_search" -> ((s, d) => hitsToDocIds(s,
+      Searcher.topK(s, purgedIndex(s, d), Bm25Query, 20), withScore = true))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -755,6 +789,56 @@ object SparkEntry {
            ELSE round(2.0 / (1.0 + exp(0.01 * (value - 1.0))), 3)
            END, 6) AS score
          FROM events""",
+    // q39: tombstone phase — docs containing 'merge' are excluded from
+    // results, but N/avgdl/df (dl/st/df CTEs) still count them, exactly
+    // like Lucene between a delete and a merge.
+    "q39_delete_search" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                        FROM documents),
+         del AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1,2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                    AS score
+                FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+                WHERE tf.doc_id NOT IN (SELECT doc_id FROM del)
+                GROUP BY 1)
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
+    // q40: purge phase — the expunged index must score exactly like a fresh
+    // build over the live docs, so every stat derives from live toks only.
+    "q40_purge_search" ->
+      s"""WITH toks0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents),
+         del AS (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'merge'),
+         toks AS (SELECT * FROM toks0
+                  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1,2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                    AS score
+                FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+                GROUP BY 1)
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
     "q36_nfkd_cast" ->
       """SELECT event_id,
            strip_accents('Crème-Brûlée Ångström île façade ' || event_type) AS folded,

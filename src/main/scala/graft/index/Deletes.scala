@@ -1,0 +1,206 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.search.{BoolQuery, IndexHandle}
+
+/** Document deletion with ES/Lucene semantics over the snapshot log.
+  *
+  * The reference's store supports delete-by-query / re-index cycles through
+  * Elasticsearch (indexes are dropped and re-created per release,
+  * mrtarget/common/esutil.py:38-67; Lucene soft-deletes back every ES
+  * delete). This module reproduces the two-phase lifecycle from scratch:
+  *
+  *  1. **Tombstone (soft delete)** — `delete` / `deleteByQuery` commit a new
+  *     snapshot whose data dirs gain per-segment TermDels marker rows
+  *     (varint docId sets). Queries exclude tombstoned docs by feeding the
+  *     rows as zero-idf exclusion cursors into the existing mustNot
+  *     machinery — no scorer changes, no driver-held delete state, and the
+  *     per-segment tombstone shards scale exactly like postings do.
+  *     Collection statistics (N, avgdl, df) still INCLUDE deleted docs —
+  *     precisely Lucene's behavior between a delete and a merge.
+  *  2. **Purge (expunge-deletes merge)** — `purge` rewrites every posting
+  *     list without the dead docs, recomputes per-segment metrics and the
+  *     term dictionary, and commits a snapshot whose stats cover live docs
+  *     only. Query results afterwards are score-identical to a fresh build
+  *     over the live documents. Dead rank slots stay in the url/doc-length
+  *     tables (docId = pure function of (url, numSegments) is preserved —
+  *     surviving docIds never move, unlike a Lucene merge renumber) and the
+  *     consolidated tombstone row is kept so dead ranks stay excluded (an
+  *     `ids` query for a purged url returns nothing) and later
+  *     delete/purge cycles count live docs correctly.
+  *
+  * Both steps are snapshot commits: readers holding the previous
+  * SnapshotMeta are unaffected (snapshot isolation), `compact` carries
+  * tombstone rows along unchanged, and `vacuum` reclaims pre-purge dirs. */
+object Deletes {
+
+  /** Tombstone documents by url (ES delete-by-id). Unknown urls are ignored
+    * (ES `delete` 404 semantics); re-deleting a dead doc is a no-op. */
+  def delete(spark: SparkSession, indexDir: String, urls: Seq[String]): SnapshotMeta = {
+    val h = new IndexHandle(spark, indexDir, warm = false)
+    deleteDocIds(spark, indexDir, h.resolveDocIds(urls))
+  }
+
+  /** Tombstone every document matching `q` (ES delete-by-query). Matching
+    * runs through the normal distributed search path, so already-deleted
+    * docs are never re-matched. At 10^12 docs swap the global top-k collect
+    * for a per-segment match-enumeration sink; the tombstone write path is
+    * identical. */
+  def deleteByQuery(spark: SparkSession, indexDir: String, q: BoolQuery): SnapshotMeta = {
+    val h = new IndexHandle(spark, indexDir, warm = false)
+    val k = math.min(h.snap.numDocs, (Int.MaxValue - 8).toLong).toInt
+    val bySeg = h.search(q, k)
+      .groupBy(hit => (hit.docId >> IndexBuilder.SegShift).toInt)
+      .map { case (seg, hits) => seg -> hits.map(_.docId) }
+    deleteDocIds(spark, indexDir, bySeg)
+  }
+
+  /** Commit tombstones for per-segment docId sets. The new data dir holds
+    * one CONSOLIDATED TermDels row per affected segment (prior tombstones
+    * for that segment become redundant subsets — exclusion is idempotent,
+    * and purge/compact collapse them); unaffected segments are untouched. */
+  def deleteDocIds(
+      spark: SparkSession,
+      indexDir: String,
+      bySeg: Map[Int, Array[Long]]): SnapshotMeta = {
+    import spark.implicits._
+    val snap = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    require(snap.isComplete, "delete requires a complete index")
+    val requested = bySeg.filter(_._2.nonEmpty)
+    if (requested.isEmpty) return snap
+
+    // prior tombstones of the affected segments only (pushed-down scan)
+    val prior: Map[Int, Array[Long]] = spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .filter(col("term") === IndexBuilder.TermDels &&
+        col("segId").isin(requested.keys.toSeq: _*))
+      .as[PostingRow].collect()
+      .groupBy(_.segId)
+      .map { case (s, rows) =>
+        s -> rows.flatMap(r => IndexBuilder.decodePostings(r)._1).distinct
+      }
+
+    var newlyDead = 0L
+    val rows = requested.toSeq.sortBy(_._1).map { case (seg, ids) =>
+      val old = prior.getOrElse(seg, Array.emptyLongArray)
+      newlyDead += ids.distinct.count(!old.contains(_))
+      val all = (old ++ ids).distinct.sorted
+      IndexBuilder.encodeDocIdSet(seg, all, snap.blockSize)
+    }
+    if (newlyDead == 0) return snap
+
+    val newId = snap.id + 1
+    val rel = f"data/del-$newId%05d"
+    spark.createDataset(rows).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/$rel")
+    val neu = snap.copy(id = newId, parent = snap.id,
+      dataDirs = snap.dataDirs :+ rel,
+      deletedDocs = snap.deletedDocs + newlyDead)
+    Snapshot.commit(indexDir, neu)
+    neu
+  }
+
+  /** Expunge tombstoned docs from the posting lists (the forcemerge-with-
+    * expunge-deletes analogue): one pass re-clustered segment-per-task,
+    * streaming re-encode, then metrics + termdict recomputed over live docs
+    * only. Post-purge scores match a fresh build over the live documents. */
+  def purge(spark: SparkSession, indexDir: String): SnapshotMeta = {
+    import spark.implicits._
+    val snap = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    require(snap.isComplete, "purge requires a complete index")
+    if (snap.deletedDocs == 0 && snap.dataDirs.size == 1) return snap
+    val totalSegs = snap.numSegments * snap.generations
+    val bs = snap.blockSize
+    val newId = snap.id + 1
+    val rel = f"data/purge-$newId%05d"
+
+    spark.read.parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .as[PostingRow]
+      .withColumn("part",
+        element_at(lit(IndexBuilder.bijectionKeys(totalSegs)), col("segId") + 1))
+      .repartition(totalSegs, col("part"))
+      .drop("part")
+      .as[PostingRow]
+      .sortWithinPartitions("segId", "term")
+      .mapPartitions(it => purgePartition(it, bs))
+      .write.mode("overwrite").parquet(s"$indexDir/$rel")
+
+    val metas = IndexBuilder.segmentMetrics(spark, s"$indexDir/$rel", rel)
+    val dictRel = f"termdict/snap-$newId%05d"
+    IndexBuilder.writeTermdict(spark, Seq(s"$indexDir/$rel"),
+      s"$indexDir/$dictRel", IndexConfig().saltBuckets)
+    val neu = snap.copy(id = newId, parent = snap.id,
+      numDocs = metas.map(_.docs).sum,
+      sumDocLen = metas.map(_.sumDocLen).sum,
+      dataDirs = Seq(rel), termdictDir = Some(dictRel),
+      segments = metas, deletedDocs = 0L)
+    Snapshot.commit(indexDir, neu)
+    neu
+  }
+
+  /** Rewrite one segment's rows without the tombstoned docs. Input is
+    * sorted by term, so the markers (TermLens "" < TermUrls  <
+    * TermDels ) precede every real term; memory is bounded by the
+    * segment's doc-length table + one posting list. */
+  private[index] def purgePartition(
+      it0: Iterator[PostingRow], blockSize: Int): Iterator[PostingRow] = {
+    if (!it0.hasNext) return Iterator.empty
+    val it = it0.buffered
+    val segId = it.head.segId
+    val segB = IndexBuilder.segBase(segId)
+    require(it.head.term == IndexBuilder.TermLens,
+      s"purge: segment $segId missing doc-length marker")
+    val lensRow = it.next()
+    val lens = Varint.decodeInts(lensRow.docBytes)
+    require(it.hasNext && it.head.term == IndexBuilder.TermUrls,
+      s"purge: segment $segId missing url marker")
+    val urlsRow = it.next()
+
+    val dead = new java.util.BitSet(lens.length)
+    while (it.hasNext && it.head.term == IndexBuilder.TermDels) {
+      IndexBuilder.decodePostings(it.next())._1
+        .foreach(d => dead.set((d - segB - 1).toInt))
+    }
+    val nDead = dead.cardinality()
+    var liveCnt = 0L
+    var liveSum = 0L
+    var i = 0
+    while (i < lens.length) {
+      if (!dead.get(i)) { liveCnt += 1; liveSum += lens(i) }
+      i += 1
+    }
+
+    val markers: Iterator[PostingRow] =
+      Iterator(lensRow.copy(df = liveCnt, cf = liveSum), urlsRow) ++ {
+        if (nDead == 0) Iterator.empty
+        else {
+          // consolidated tombstone row: dead ranks stay excluded forever
+          // (ids lookups of purged urls) and later purges stay exact
+          val deadIds = new Array[Long](nDead)
+          var j = 0
+          var b = dead.nextSetBit(0)
+          while (b >= 0) { deadIds(j) = segB + b + 1; j += 1; b = dead.nextSetBit(b + 1) }
+          Iterator(IndexBuilder.encodeDocIdSet(segId, deadIds, blockSize))
+        }
+      }
+
+    val terms: Iterator[PostingRow] = it.flatMap { r =>
+      if (nDead == 0) Iterator.single(r)
+      else {
+        val (ids, tfs) = IndexBuilder.decodePostings(r)
+        val keep = ids.indices.filterNot(j => dead.get((ids(j) - segB - 1).toInt))
+        if (keep.isEmpty) Iterator.empty
+        else if (keep.size == ids.length) Iterator.single(r)
+        else Iterator.single(IndexBuilder.encodeRun(segId, r.term,
+          keep.iterator.map { j =>
+            (ids(j), tfs(j), lens((ids(j) - segB - 1).toInt))
+          }, blockSize))
+      }
+    }
+    markers ++ terms
+  }
+}

@@ -32,9 +32,10 @@ case class IndexConfig(
   *    independent of global stats — the build is single-pass and a
   *    resumed build needs no stats consistency protocol
   *
-  * Two special marker rows per segment use reserved `term` values the
-  * analyzer can never emit: TermLens ("") carries varint doc lengths indexed
-  * by seg-local rank, TermUrls ("") the length-prefixed url table.
+  * Marker rows per segment use reserved `term` values the analyzer can
+  * never emit: TermLens ("") carries varint doc lengths indexed by
+  * seg-local rank, TermUrls ("") the length-prefixed url table, and
+  * TermDels ("") the segment's tombstoned docIds (soft deletes).
   * Splitting urls from lens keeps the hot scoring path from deserializing
   * url bytes — urls are fetched only for the final k winners' segments.
   */
@@ -90,6 +91,11 @@ object IndexBuilder {
     * so they sort strictly above both markers. */
   val TermLens = ""
   val TermUrls = "\u0001"
+  /** Tombstone marker (soft-deleted docIds, Lucene live-docs analogue;
+    * written by [[Deletes]], never by a build). Real tokens match
+    * [a-z0-9']+ so they sort strictly above all three markers; "real term"
+    * predicates must therefore compare against TermDels, not TermUrls. */
+  val TermDels = "\u0002"
 
   def segBase(segId: Int): Long = segId.toLong << SegShift
 
@@ -246,16 +252,7 @@ object IndexBuilder {
     }
 
     // per-segment lineage metrics from the freshly written segments
-    val metrics = timed("metrics")(spark.read.parquet(buildDir)
-      .groupBy("segId").agg(
-        max(when(col("term") === TermLens, col("df")).otherwise(0L)).as("docs"),
-        max(when(col("term") === TermLens, col("cf")).otherwise(0L)).as("sumdl"),
-        sum(when(col("term") > TermUrls, 1L).otherwise(0L)).as("terms"),
-        sum(when(col("term") > TermUrls, col("df")).otherwise(0L)).as("postings"))
-      .collect()
-      .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(3),
-        r.getLong(4), r.getLong(2), buildDirRel))
-      .sortBy(_.segId).toSeq)
+    val metrics = timed("metrics")(segmentMetrics(spark, buildDir, buildDirRel))
 
     val allSegments = (prior.map(_.segments).getOrElse(Nil) ++ metrics).sortBy(_.segId)
     val allDataDirs = (prior.map(_.dataDirs).getOrElse(Nil) :+ buildDirRel).distinct
@@ -268,17 +265,8 @@ object IndexBuilder {
     // merge step the north rule requires for posting consolidation at scale.
     val termdictRel = if (complete) Some(f"termdict/snap-$snapId%05d") else None
     termdictRel.foreach { rel => timed("termdict")(
-      spark.read.parquet(allDataDirs.map(d => s"$indexDir/$d"): _*)
-        .filter(col("term") > TermUrls)
-        .select("term", "segId", "df", "cf", "maxTf", "minDl")
-        .groupBy(col("term"), pmod(col("segId"), lit(cfg.saltBuckets)).as("salt"))
-        .agg(sum("df").as("df"), sum("cf").as("cf"),
-          max("maxTf").as("maxTf"), min("minDl").as("minDl"))
-        .groupBy("term")
-        .agg(sum("df").as("df"), sum("cf").as("cf"),
-          max("maxTf").as("maxTf"), min("minDl").as("minDl"))
-        .sort("term")
-        .write.mode("overwrite").parquet(s"$indexDir/$rel"))
+      writeTermdict(spark, allDataDirs.map(d => s"$indexDir/$d"),
+        s"$indexDir/$rel", cfg.saltBuckets))
     }
 
     val snap = SnapshotMeta(
@@ -290,6 +278,42 @@ object IndexBuilder {
     Snapshot.commit(indexDir, snap)
     snap
   }
+
+  /** Global term dictionary over committed segment dirs. Explicit two-phase
+    * salted aggregation: head terms (Zipf skew) are first combined per
+    * (term, salt) bucket, then reduced per term — the salted merge step the
+    * north rule requires for posting consolidation at scale. */
+  private[index] def writeTermdict(
+      spark: SparkSession, absDirs: Seq[String], outAbs: String,
+      saltBuckets: Int): Unit =
+    spark.read.parquet(absDirs: _*)
+      .filter(col("term") > TermDels)
+      .select("term", "segId", "df", "cf", "maxTf", "minDl")
+      .groupBy(col("term"), pmod(col("segId"), lit(saltBuckets)).as("salt"))
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
+      .sort("term")
+      .write.mode("overwrite").parquet(outAbs)
+
+  /** Per-segment lineage metrics recomputed from a written data dir. The
+    * TermLens row's (df, cf) carry (live docs, live doclen sum) — equal to
+    * the url-table length for never-purged segments, smaller after a purge
+    * (dead rank slots stay in the table so surviving docIds never move). */
+  private[index] def segmentMetrics(
+      spark: SparkSession, absDir: String, rel: String): Seq[SegmentMeta] =
+    spark.read.parquet(absDir)
+      .groupBy("segId").agg(
+        max(when(col("term") === TermLens, col("df")).otherwise(0L)).as("docs"),
+        max(when(col("term") === TermLens, col("cf")).otherwise(0L)).as("sumdl"),
+        sum(when(col("term") > TermDels, 1L).otherwise(0L)).as("terms"),
+        sum(when(col("term") > TermDels, col("df")).otherwise(0L)).as("postings"))
+      .collect()
+      .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(2), rel))
+      .sortBy(_.segId).toSeq
 
   /** Marker rows (doc-length + url tables, both empty) for a segment that
     * received zero documents, so it counts as committed in the snapshot. */
@@ -311,7 +335,7 @@ object IndexBuilder {
       TokRow(segId, term, docIds(i), tfs(i), lens(i), null))
 
   def encodeForTest(rows: Iterator[TokRow], blockSize: Int): PostingRow =
-    encodePartition(rows, blockSize).toSeq.find(_.term > TermUrls).get
+    encodePartition(rows, blockSize).toSeq.find(_.term > TermDels).get
 
   /** Lazily encode one sorted partition: memory is bounded by a single
     * (segId, term) run plus the current segment's doc-length/url tables.
@@ -349,60 +373,103 @@ object IndexBuilder {
         } else {
           // consume one (segId, term) posting run
           val term = it.head.term
-          val docOut = new java.io.ByteArrayOutputStream()
-          val tfOut = new java.io.ByteArrayOutputStream()
-          val blockLast = ArrayBuffer.empty[Long]
-          val blockMaxTf = ArrayBuffer.empty[Int]
-          val blockMinDl = ArrayBuffer.empty[Int]
-          val blockDocOff = ArrayBuffer.empty[Int]
-          val blockTfOff = ArrayBuffer.empty[Int]
-          var prevDoc = segBase(segId)
-          var inBlock = 0
-          var nPostings = 0L
-          var cf = 0L
-          var termMaxTf = 0
-          var termMinDl = Int.MaxValue
-          var bMaxTf = 0
-          var bMinDl = Int.MaxValue
-          var lastDoc = 0L
-          while (it.hasNext && it.head.segId == segId && it.head.term == term) {
-            val r = it.next()
-            if (inBlock == 0) {
-              blockDocOff += docOut.size()
-              blockTfOff += tfOut.size()
+          encodeRun(segId, term, new Iterator[(Long, Int, Int)] {
+            def hasNext: Boolean =
+              it.hasNext && it.head.segId == segId && it.head.term == term
+            def next(): (Long, Int, Int) = {
+              val r = it.next(); (r.docId, r.tf, r.doclen)
             }
-            Varint.writeLong(docOut, r.docId - prevDoc)
-            Varint.writeInt(tfOut, r.tf)
-            prevDoc = r.docId
-            lastDoc = r.docId
-            if (r.tf > bMaxTf) bMaxTf = r.tf
-            if (r.doclen < bMinDl) bMinDl = r.doclen
-            if (r.tf > termMaxTf) termMaxTf = r.tf
-            if (r.doclen < termMinDl) termMinDl = r.doclen
-            cf += r.tf
-            nPostings += 1
-            inBlock += 1
-            if (inBlock == blockSize) {
-              blockLast += lastDoc
-              blockMaxTf += bMaxTf
-              blockMinDl += bMinDl
-              inBlock = 0
-              bMaxTf = 0
-              bMinDl = Int.MaxValue
-            }
-          }
-          if (inBlock > 0) {
-            blockLast += lastDoc
-            blockMaxTf += bMaxTf
-            blockMinDl += bMinDl
-          }
-          PostingRow(segId, term, nPostings, cf, termMaxTf, termMinDl,
-            docOut.toByteArray, tfOut.toByteArray,
-            blockLast.toArray, blockMaxTf.toArray, blockMinDl.toArray,
-            blockDocOff.toArray, blockTfOff.toArray)
+          }, blockSize)
         }
       }
     }
+
+  /** Streaming posting-list encoder for one (segment, term) run.
+    * `postings` yields (docId, tf, doclen) in strictly ascending docId
+    * order; memory is bounded by the block metadata, not the run length. */
+  private[index] def encodeRun(
+      segId: Int,
+      term: String,
+      postings: Iterator[(Long, Int, Int)],
+      blockSize: Int): PostingRow = {
+    val docOut = new java.io.ByteArrayOutputStream()
+    val tfOut = new java.io.ByteArrayOutputStream()
+    val blockLast = ArrayBuffer.empty[Long]
+    val blockMaxTf = ArrayBuffer.empty[Int]
+    val blockMinDl = ArrayBuffer.empty[Int]
+    val blockDocOff = ArrayBuffer.empty[Int]
+    val blockTfOff = ArrayBuffer.empty[Int]
+    var prevDoc = segBase(segId)
+    var inBlock = 0
+    var nPostings = 0L
+    var cf = 0L
+    var termMaxTf = 0
+    var termMinDl = Int.MaxValue
+    var bMaxTf = 0
+    var bMinDl = Int.MaxValue
+    var lastDoc = 0L
+    while (postings.hasNext) {
+      val (docId, tf, doclen) = postings.next()
+      if (inBlock == 0) {
+        blockDocOff += docOut.size()
+        blockTfOff += tfOut.size()
+      }
+      Varint.writeLong(docOut, docId - prevDoc)
+      Varint.writeInt(tfOut, tf)
+      prevDoc = docId
+      lastDoc = docId
+      if (tf > bMaxTf) bMaxTf = tf
+      if (doclen < bMinDl) bMinDl = doclen
+      if (tf > termMaxTf) termMaxTf = tf
+      if (doclen < termMinDl) termMinDl = doclen
+      cf += tf
+      nPostings += 1
+      inBlock += 1
+      if (inBlock == blockSize) {
+        blockLast += lastDoc
+        blockMaxTf += bMaxTf
+        blockMinDl += bMinDl
+        inBlock = 0
+        bMaxTf = 0
+        bMinDl = Int.MaxValue
+      }
+    }
+    if (inBlock > 0) {
+      blockLast += lastDoc
+      blockMaxTf += bMaxTf
+      blockMinDl += bMinDl
+    }
+    PostingRow(segId, term, nPostings, cf, termMaxTf, termMinDl,
+      docOut.toByteArray, tfOut.toByteArray,
+      blockLast.toArray, blockMaxTf.toArray, blockMinDl.toArray,
+      blockDocOff.toArray, blockTfOff.toArray)
+  }
+
+  /** Full sequential decode of one posting row → (docIds, tfs). The delta
+    * stream is contiguous across blocks (block offsets only enable mid-list
+    * seeks), so a single pass from offset 0 reconstructs the list. */
+  private[graft] def decodePostings(r: PostingRow): (Array[Long], Array[Int]) = {
+    val n = r.df.toInt
+    val ids = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val dr = new Varint.Reader(r.docBytes, 0)
+    val tr = new Varint.Reader(r.tfBytes, 0)
+    var prev = segBase(r.segId)
+    var i = 0
+    while (i < n) {
+      prev += dr.readLong()
+      ids(i) = prev
+      tfs(i) = tr.readInt()
+      i += 1
+    }
+    (ids, tfs)
+  }
+
+  /** Encode a sorted docId set as a TermDels tombstone row (tf/doclen are
+    * 1-filled — tombstones are exclusion cursors, never scored). */
+  private[graft] def encodeDocIdSet(
+      segId: Int, sortedIds: Array[Long], blockSize: Int): PostingRow =
+    encodeRun(segId, TermDels, sortedIds.iterator.map(d => (d, 1, 1)), blockSize)
 
 
   /** Segment compaction — the engine's analogue of the reference's

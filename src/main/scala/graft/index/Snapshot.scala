@@ -31,7 +31,12 @@ case class SnapshotMeta(
     blockSize: Int,
     dataDirs: Seq[String],
     termdictDir: Option[String],
-    segments: Seq[SegmentMeta]) {
+    segments: Seq[SegmentMeta],
+    // tombstoned-but-not-purged docs (exact — re-deleting a dead doc does
+    // not count). ES/Lucene semantics: numDocs/sumDocLen/df still include
+    // them until Deletes.purge rewrites the postings. Primitive Long, so
+    // pre-deletes snapshot files deserialize as 0.
+    deletedDocs: Long = 0L) {
   def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
   /** Appends create new generations of segments: generation g occupies
     * segIds [g*numSegments, (g+1)*numSegments). */

@@ -63,6 +63,7 @@ private[search] object BoolEval {
       segId: Int,
       rows: Seq[PostingRow],
       lens: Array[Int],
+      dels: Seq[PostingRow],
       c: CompiledQuery,
       blockSize: Int,
       avgdl: Double,
@@ -88,7 +89,14 @@ private[search] object BoolEval {
       it
     }
     val scoring = c.scoringTerms.filter(byTerm.contains).map(iter)
-    val excluded = c.mustNot.filter(byTerm.contains).map(iter)
+    // tombstoned docs (Deletes) are zero-idf exclusion cursors — the same
+    // veto machinery as mustNot, so WAND/conjunction pruning stays exact
+    val excluded = c.mustNot.filter(byTerm.contains).map(iter) ++
+      dels.map { r =>
+        val d = new PostingIterator(r, 0.0, blockSize, avgdl)
+        d.start()
+        d
+      }
     val hits =
       if (c.hasRequired)
         BooleanScorer.conjunctiveTopK((c.must ++ c.filter).map(iter), scoring,
@@ -160,28 +168,42 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           e: java.util.Map.Entry[String, Array[PostingRow]]): Boolean =
         size() > servedTermCap
     }
-  // doc-length tables are fetched per candidate segment and LRU-bounded:
-  // an all-segments eager collect would hold O(numDocs) ints on the driver
-  // forever — GBs at 10⁹ docs. The distributed path never touches this.
+  // per-segment doc-length tables + tombstone rows are fetched per candidate
+  // segment and LRU-bounded: an all-segments eager collect would hold
+  // O(numDocs) ints on the driver forever — GBs at 10⁹ docs. The
+  // distributed path never touches this.
   private val lensSegCap = 4096
-  private val lensCache =
-    new java.util.LinkedHashMap[Int, Array[Int]](64, 0.75f, true) {
+  private val segCache =
+    new java.util.LinkedHashMap[Int, (Array[Int], Seq[PostingRow])](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, Array[Int]]): Boolean =
+          e: java.util.Map.Entry[Int, (Array[Int], Seq[PostingRow])]): Boolean =
         size() > lensSegCap
     }
 
-  private def fetchLens(segs: Seq[Int]): Map[Int, Array[Int]] = synchronized {
-    val missing = segs.filterNot(lensCache.containsKey)
-    if (missing.nonEmpty)
-      postings.filter(col("term") === IndexBuilder.TermLens &&
-          col("segId").isin(missing: _*))
-        .collect().foreach(r => lensCache.put(r.segId, Varint.decodeInts(r.docBytes)))
-    segs.flatMap(s => Option(lensCache.get(s)).map(s -> _)).toMap
-  }
+  private def fetchLens(segs: Seq[Int]): Map[Int, (Array[Int], Seq[PostingRow])] =
+    synchronized {
+      val missing = segs.filterNot(segCache.containsKey)
+      if (missing.nonEmpty) {
+        val fetched = postings.filter(
+            (col("term") === IndexBuilder.TermLens ||
+              col("term") === IndexBuilder.TermDels) &&
+            col("segId").isin(missing: _*))
+          .collect().groupBy(_.segId)
+        missing.foreach { s =>
+          fetched.get(s).foreach { rows =>
+            val lens = rows.find(_.term == IndexBuilder.TermLens)
+              .map(r => Varint.decodeInts(r.docBytes))
+              .getOrElse(Array.emptyIntArray)
+            segCache.put(s,
+              (lens, rows.filter(_.term == IndexBuilder.TermDels).toSeq))
+          }
+        }
+      }
+      segs.flatMap(s => Option(segCache.get(s)).map(s -> _)).toMap
+    }
 
   /** Test hook: current number of cached per-segment doc-length tables. */
-  private[graft] def lensCacheSize: Int = synchronized(lensCache.size())
+  private[graft] def lensCacheSize: Int = synchronized(segCache.size())
 
   private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] =
     synchronized {
@@ -223,8 +245,10 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   /** ids (urls) -> per-segment sorted docIds, by binary search in the
     * candidate segments' sorted url tables (seg-local rank IS the url sort
     * position, so no posting bytes are touched). A url may exist in one
-    * segment per generation; all generations are probed. */
-  private def resolveIds(urls: Seq[String]): Map[Int, Array[Long]] = {
+    * segment per generation; all generations are probed. Tombstoned urls
+    * still resolve — their docIds are vetoed at scoring time, and
+    * [[graft.index.Deletes]] uses this to find the docIds to tombstone. */
+  private[graft] def resolveDocIds(urls: Seq[String]): Map[Int, Array[Long]] = {
     val P = snap.numSegments
     val gens = snap.generations
     val segs = urls.map(u => Hashing.segmentOf(u, P)).distinct
@@ -273,7 +297,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     val idsBySeg = q.ids match {
       case None => Map.empty[Int, Array[Long]]
       case Some(urls) =>
-        val m = resolveIds(urls)
+        val m = resolveDocIds(urls)
         if (m.isEmpty) return None // no listed id exists in the index
         m
     }
@@ -303,15 +327,20 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     val kk = k
     val avg = avgdl
     val bs = blockSize
-    val wanted: Seq[String] = IndexBuilder.TermLens +: c.allTerms.toSeq
+    val wanted: Seq[String] =
+      IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
 
     def evalRows(rowsIt: Iterator[PostingRow]): Iterator[(Long, Double, Int)] = {
       var lensFor = Map.empty[Int, Array[Int]]
+      val delsFor = scala.collection.mutable.HashMap
+        .empty[Int, ArrayBuffer[PostingRow]]
       val posting = scala.collection.mutable.LinkedHashMap
         .empty[Int, ArrayBuffer[PostingRow]]
       rowsIt.foreach { r =>
         if (r.term == IndexBuilder.TermLens)
           lensFor += r.segId -> Varint.decodeInts(r.docBytes)
+        else if (r.term == IndexBuilder.TermDels)
+          delsFor.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
         else posting.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
       }
       // an ids query must evaluate its segments even when no clause term has
@@ -325,7 +354,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           case None => Iterator.empty
           case Some(lens) =>
             BoolEval.scoreSegment(segId,
-              posting.get(segId).map(_.toSeq).getOrElse(Nil), lens, c, bs, avg, kk)
+              posting.get(segId).map(_.toSeq).getOrElse(Nil), lens,
+              delsFor.get(segId).map(_.toSeq).getOrElse(Nil), c, bs, avg, kk)
         }
       }
     }
@@ -378,16 +408,17 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         else c.scoringTerms.iterator.flatMap(t => rowsByTerm(t).map(_.segId)).toSet
       (if (c.hasIds) base.intersect(c.idsBySeg.keySet) else base).toSeq.sorted
     }
-    // only the candidate segments' doc-length tables are pulled (LRU-kept)
+    // only the candidate segments' doc-length/tombstone tables are pulled
+    // (LRU-kept)
     val lens = fetchLens(candSegs)
     // segments score independently; parallelize across driver cores (the
     // per-segment scorer state is private; merge order is pinned afterwards)
     val hits = candSegs.par.flatMap { segId =>
       lens.get(segId) match {
         case None => Seq.empty
-        case Some(l) =>
+        case Some((l, dels)) =>
           val rows = wantedTerms.flatMap(t => rowsByTerm(t).filter(_.segId == segId))
-          BoolEval.scoreSegment(segId, rows, l, c, blockSize, avgdl, k).toSeq
+          BoolEval.scoreSegment(segId, rows, l, dels, c, blockSize, avgdl, k).toSeq
       }
     }.seq.toArray
     val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)
@@ -445,8 +476,9 @@ object OracleSearch {
       docs: Seq[(String, String)], // (url, text)
       query: String,
       k: Int,
-      numSegments: Int): Array[Hit] =
-    boolTopK(docs, BoolQuery.text(query), k, numSegments)
+      numSegments: Int,
+      deletedUrls: Set[String] = Set.empty): Array[Hit] =
+    boolTopK(docs, BoolQuery.text(query), k, numSegments, deletedUrls)
 
   /** Exhaustive bool-query evaluation with the pinned BoolQuery semantics —
     * the differential-fuzz oracle for must/filter/ids/mustNot. */
@@ -454,7 +486,8 @@ object OracleSearch {
       docs: Seq[(String, String)],
       q0: BoolQuery,
       k: Int,
-      numSegments: Int): Array[Hit] = {
+      numSegments: Int,
+      deletedUrls: Set[String] = Set.empty): Array[Hit] = {
     val q = q0.normalized
     if (q.contradictory) return Array.empty
 
@@ -468,8 +501,12 @@ object OracleSearch {
     val dfByTerm = scoringAll.map { t => t -> tfs.count(_._3.contains(t)).toLong }.toMap
     val idsSet = q.ids.map(_.toSet)
 
+    // tombstoned docs are excluded from results but — exactly like
+    // Lucene between a delete and a merge — still count in N/avgdl/df
+    // (computed above over ALL docs)
     val scored = tfs.flatMap { case (id, url, tf) =>
-      val pass = idsSet.forall(_.contains(url)) &&
+      val pass = !deletedUrls.contains(url) &&
+        idsSet.forall(_.contains(url)) &&
         q.must.forall(t => tf.getOrElse(t, 0) > 0) &&
         q.filter.forall(t => tf.getOrElse(t, 0) > 0) &&
         !q.mustNot.exists(t => tf.getOrElse(t, 0) > 0)
