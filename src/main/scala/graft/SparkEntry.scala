@@ -71,6 +71,21 @@ object SparkEntry {
       Deletes.purge(spark, idx)
     }
 
+  /** q41: recrawl — every doc_id % 7 == 0 re-indexed under the SAME url
+    * with fresh text (`IndexBuilder.upsert`: tombstone old version + append
+    * new generation, latest wins). Like ES between a delete and a merge,
+    * N/avgdl/df keep counting the replaced versions until a purge — the
+    * oracle recomputes BM25 over BOTH versions' stats, scoring live ones. */
+  private def upsertedIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(s"$dir#upserted") { idx =>
+      IndexBuilder.build(spark, docsAsPages(spark, dir), idx,
+        IndexConfig(numSegments = 1, blockSize = 64))
+      val re = docsAsPages(spark, dir)
+        .filter(expr("cast(substring(url, 7) as bigint) % 7 = 0"))
+        .withColumn("text", concat(col("text"), lit(" recrawled fresh data")))
+      IndexBuilder.upsert(spark, re, idx)
+    }
+
   private def hitsToDocIds(spark: SparkSession,
       hits: Array[graft.search.Hit], withScore: Boolean): DataFrame = {
     import spark.implicits._
@@ -407,7 +422,9 @@ object SparkEntry {
     "q39_delete_search" -> ((s, d) => hitsToDocIds(s,
       Searcher.topK(s, tombstonedIndex(s, d), Bm25Query, 20), withScore = true)),
     "q40_purge_search" -> ((s, d) => hitsToDocIds(s,
-      Searcher.topK(s, purgedIndex(s, d), Bm25Query, 20), withScore = true))
+      Searcher.topK(s, purgedIndex(s, d), Bm25Query, 20), withScore = true)),
+    "q41_upsert_search" -> ((s, d) => hitsToDocIds(s,
+      Searcher.topK(s, upsertedIndex(s, d), Bm25Query, 20), withScore = true))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -839,6 +856,44 @@ object SparkEntry {
                 GROUP BY 1)
          SELECT doc_id, round(score,6) AS score FROM
            (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
+    // q41: recrawl upsert — both versions of a recrawled doc count in
+    // N/avgdl/df (tombstone-not-purged, ES/Lucene semantics); only the
+    // LATEST version is a candidate. Engine tie-break is docId asc and
+    // every appended-generation docId sorts above every original one, so
+    // the oracle's tie key is (isnew, doc_id).
+    "q41_upsert_search" ->
+      s"""WITH allv AS (
+           SELECT doc_id, text, (doc_id % 7 = 0) AS dead, 0 AS isnew
+           FROM documents
+           UNION ALL
+           SELECT doc_id, text || ' recrawled fresh data' AS text,
+                  false AS dead, 1 AS isnew
+           FROM documents WHERE doc_id % 7 = 0),
+         toks AS (SELECT doc_id, isnew, dead,
+                         unnest(string_split(text,' ')) AS term FROM allv),
+         dl AS (SELECT doc_id, isnew, dead, count(*) AS dl FROM toks
+                GROUP BY 1,2,3),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tf AS (SELECT doc_id, isnew, dead, term, count(*) AS tf FROM toks
+                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+                GROUP BY 1,2,3,4),
+         df AS (SELECT term, count(*) AS df FROM
+                  (SELECT DISTINCT doc_id, isnew, term FROM toks
+                   WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")}))
+                GROUP BY 1),
+         sc AS (SELECT tf.doc_id, tf.isnew,
+                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                    AS score
+                FROM tf JOIN df USING(term)
+                     JOIN dl ON dl.doc_id = tf.doc_id AND dl.isnew = tf.isnew
+                     CROSS JOIN st
+                WHERE NOT tf.dead
+                GROUP BY 1,2)
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, isnew, doc_id
+            LIMIT 20)""",
     "q36_nfkd_cast" ->
       """SELECT event_id,
            strip_accents('Crème-Brûlée Ångström île façade ' || event_type) AS folded,

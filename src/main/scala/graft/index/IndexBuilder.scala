@@ -179,6 +179,48 @@ object IndexBuilder {
       segOffset = gen * P, wanted)
   }
 
+  /** Recrawl/update (ES index-with-same-_id, Iceberg merge-on-read): every
+    * document already live for one of `newPages`' urls is tombstoned, then
+    * the batch is appended as a fresh generation — two snapshot commits,
+    * latest version wins for search and `ids` lookups. Contract: one row
+    * per url in the batch (a duplicated url would index twice). Existing
+    * postings are never rewritten (that is `Deletes.purge`'s job) and —
+    * like ES between a delete and a merge — N/avgdl/df keep counting the
+    * replaced versions until a purge. The old-docId resolution is a
+    * distributed join of the batch's urls against the exploded per-segment
+    * url tables (tiny next to the corpus: one string per document); only
+    * the MATCHED (segId, docId) pairs — bounded by the batch size, not the
+    * corpus — are collected for the tombstone commit. */
+  def upsert(
+      spark: SparkSession,
+      newPages: DataFrame,
+      indexDir: String): SnapshotMeta = {
+    import spark.implicits._
+    val snap = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    require(snap.isComplete, "upsert requires a complete index")
+    val urlRows = spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .as[PostingRow]
+      .filter(col("term") === lit(TermUrls)) // pushed-down marker scan
+      .flatMap { r =>
+        val base = segBase(r.segId)
+        Varint.decodeStrings(r.tfBytes).iterator.zipWithIndex
+          .map { case (u, i) => (r.segId, u, base + i + 1) }
+      }
+      .toDF("segId", "url", "docId")
+    val matched = urlRows
+      .join(newPages.select("url").distinct(), Seq("url"))
+      .select(col("segId"), col("docId"))
+      .as[(Int, Long)]
+      .collect()
+    val bySeg = matched.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    // already-tombstoned old versions no-op inside deleteDocIds; a batch of
+    // only never-seen urls commits no tombstone snapshot at all
+    Deletes.deleteDocIds(spark, indexDir, bySeg)
+    append(spark, newPages, indexDir)
+  }
+
   private def buildSegments(
       spark: SparkSession,
       pages: DataFrame,
@@ -274,7 +316,10 @@ object IndexBuilder {
       numDocs = allSegments.map(_.docs).sum,
       sumDocLen = allSegments.map(_.sumDocLen).sum,
       numSegments = P, blockSize = blockSize,
-      dataDirs = allDataDirs, termdictDir = termdictRel, segments = allSegments)
+      dataDirs = allDataDirs, termdictDir = termdictRel, segments = allSegments,
+      // tombstones committed before this build/append stay live (their
+      // TermDels rows ride along in dataDirs) — the counter must too
+      deletedDocs = prior.map(_.deletedDocs).getOrElse(0L))
     Snapshot.commit(indexDir, snap)
     snap
   }

@@ -2,6 +2,8 @@ package graft.index
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
@@ -128,10 +130,34 @@ object Snapshot {
   def latest(indexDir: String): Option[SnapshotMeta] = {
     val ptr = snapsDir(indexDir).resolve("LATEST")
     if (!Files.exists(ptr)) None
+    else at(indexDir, Files.readString(ptr).trim.toInt)
+  }
+
+  /** Time travel: read a specific committed snapshot by id. Data dirs of
+    * non-latest snapshots remain readable until `IndexBuilder.vacuum`
+    * reclaims dirs unreferenced by LATEST (Iceberg expire-snapshots
+    * semantics) — a pinned reader must finish, or the snapshot be kept
+    * latest, before a vacuum. */
+  def at(indexDir: String, id: Int): Option[SnapshotMeta] = {
+    val file = snapsDir(indexDir).resolve(f"snap-$id%05d.json")
+    if (!Files.exists(file)) None
+    else Some(mapper.readValue(Files.readString(file), classOf[SnapshotMeta]))
+  }
+
+  /** All committed snapshots, ascending by id — the index's history chain
+    * (each entry's `parent` links to its predecessor). */
+  def list(indexDir: String): Seq[SnapshotMeta] = {
+    val dir = snapsDir(indexDir)
+    if (!Files.isDirectory(dir)) Nil
     else {
-      val id = Files.readString(ptr).trim.toInt
-      val file = snapsDir(indexDir).resolve(f"snap-$id%05d.json")
-      Some(mapper.readValue(Files.readString(file), classOf[SnapshotMeta]))
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
+        .toSeq.sorted
+        .flatMap(at(indexDir, _))
+      finally ls.close()
     }
   }
 }

@@ -116,11 +116,19 @@ private[search] object BoolEval {
   * TakeOrderedAndProject. The cold path (warm = false) reads parquet
   * directly and probes the dictionary with a pushed-down filter instead. */
 final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = true,
-    dictLimit: Long = 2000000) {
+    dictLimit: Long = 2000000,
+    // time travel: pin the handle to a specific committed snapshot id
+    // instead of LATEST (Iceberg `VERSION AS OF`); readers holding a pinned
+    // handle are isolated from concurrent append/delete/upsert commits,
+    // whose data dirs stay readable until a vacuum
+    snapshotId: Option[Int] = None) {
   import spark.implicits._
 
-  val snap: SnapshotMeta = Snapshot.latest(indexDir)
-    .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+  val snap: SnapshotMeta = snapshotId
+    .map(i => Snapshot.at(indexDir, i).getOrElse(
+      throw new IllegalStateException(s"no snapshot $i under $indexDir")))
+    .getOrElse(Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir")))
   require(snap.isComplete,
     s"index incomplete: ${snap.segments.size}/${snap.numSegments} segments")
 
