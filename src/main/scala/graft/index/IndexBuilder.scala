@@ -231,7 +231,8 @@ object IndexBuilder {
       wanted: Seq[Int]): SnapshotMeta = {
     import spark.implicits._
     val P = cfg.numSegments
-    val segUdf = udf((url: String) => segOffset + Hashing.segmentOf(url, P))
+    // codegen'd segment assignment (no UDF row-conversion on the hot path)
+    def segCol = graft.plans.GraftFunctions.segment_of(col("url"), P) + lit(segOffset)
     val snapId = prior.map(_.id).getOrElse(0) + 1
     val buildDirRel = f"data/build-$snapId%05d"
     val buildDir = s"$indexDir/$buildDirRel"
@@ -243,7 +244,7 @@ object IndexBuilder {
     // synthesized by folding a sentinel entry into the tf map before the
     // native explode — no typed flatMap, no second pass over the corpus.
     val tokRows = pages.select(col("url"), col("text"))
-      .withColumn("segId", segUdf(col("url")))
+      .withColumn("segId", segCol)
       .filter(col("segId").isin(wanted: _*))
       // Exact 1:1 segment->task mapping: plain repartition(P, segId) is a
       // balls-in-bins trap (a task receiving 3-4 hash-colliding segments

@@ -37,6 +37,28 @@ case class TokenizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Deterministic segment assignment segId = floorMod(hash64(url), P) as a
+  * codegen'd expression: the build's only remaining per-row Scala UDF cost
+  * (UTF8String -> String copy + boxing across the UDF boundary) disappears
+  * from the map side of the one build exchange. Delegates to the same
+  * [[graft.index.Hashing]] FNV-1a so driver (oracle), executors, and every
+  * historical index agree on doc placement. */
+case class SegmentOfExpr(child: Expression, numSegments: Int)
+    extends UnaryExpression {
+  require(numSegments > 0, s"numSegments must be positive: $numSegments")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_segment_of"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.index.Hashing.segmentOfUtf8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numSegments)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.index.Hashing.segmentOfUtf8($c, $numSegments)")
+  override protected def withNewChildInternal(newChild: Expression): SegmentOfExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge
 
@@ -51,6 +73,9 @@ object GraftFunctions {
     GraftColumnBridge.column(TermFreqsExpr(GraftColumnBridge.expression(c)))
   def tokenize(c: Column): Column =
     GraftColumnBridge.column(TokenizeExpr(GraftColumnBridge.expression(c)))
+  def segment_of(c: Column, numSegments: Int): Column =
+    GraftColumnBridge.column(
+      SegmentOfExpr(GraftColumnBridge.expression(c), numSegments))
 
   /** Imperative registration for an existing session (tests, Demo). */
   def register(spark: SparkSession): Unit = {

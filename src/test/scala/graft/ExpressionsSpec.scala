@@ -27,6 +27,20 @@ class ExpressionsSpec extends SparkSuite {
     texts.foreach(t => assert(got(t) === Analyzer.tokenize(t).toSeq, s"text: $t"))
   }
 
+  test("graft_segment_of equals Hashing.segmentOf (codegen; incl. non-ASCII)") {
+    val urls = Seq("doc://00000001", "https://a.example/x?q=1", "",
+      "héllo wörld", "日本語のページ", "emoji 🚀 url", "😀plane1")
+    Seq(1, 7, 32, 256).foreach { p =>
+      val got = urls.toDF("u")
+        .select(col("u"), GraftFunctions.segment_of(col("u"), p).as("s"))
+        .as[(String, Int)].collect().toMap
+      urls.foreach { u =>
+        assert(got(u) === graft.index.Hashing.segmentOf(u, p), s"url: $u, P=$p")
+        assert(got(u) >= 0 && got(u) < p)
+      }
+    }
+  }
+
   test("null input yields null (nullIntolerant)") {
     val r = Seq[Option[String]](None).toDF("t")
       .select(GraftFunctions.tokenize(col("t"))).head()
