@@ -76,7 +76,8 @@ case class TokRow(
   *     -> repartition(P, segId)                     [the only exchange]
   *     -> row_number() over (segId, url)            [reuses the exchange]
   *     -> analyze once, flatMap to doc/posting rows [narrow]
-  *     -> sortWithinPartitions(segId, term, docId)  [external sort]
+  *     -> sortWithinPartitions(term, docId)         [external sort; segId
+  *        is constant per partition, so term leads for a useful sort prefix]
   *     -> mapPartitions streaming encoder           [narrow, run-bounded mem]
   *     -> parquet segments + snapshot commit
   *
@@ -280,7 +281,12 @@ object IndexBuilder {
     val wantedSet = wanted.toSet
     timed("encode+write") {
       tokRows
-        .sortWithinPartitions("segId", "term", "docId")
+        // partition == segment (bijection), so segId is constant here and
+        // must NOT lead the sort key: Spark derives the radix/sort prefix
+        // from the FIRST key only, and a constant prefix forces every
+        // comparison through full row deserialization. Leading with term
+        // resolves most comparisons in the 8-byte binary prefix.
+        .sortWithinPartitions("term", "docId")
         .mapPartitions { it =>
           // partition p holds exactly segment segOffset+p (bijection above).
           // A document-less wanted segment must still commit marker rows, or
