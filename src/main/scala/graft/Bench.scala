@@ -153,12 +153,33 @@ object Bench {
     }.sorted
     val sp50 = slat(slat.length / 2)
     val sp95 = slat(math.min((slat.length * 95) / 100, slat.length - 1))
+    // hot-serving throughput under concurrency: 8 client threads hammer the
+    // shared handle (thread safety spec'd in IndexSearchSpec) — the metric a
+    // query-serving tier actually provisions against
+    val qpsThreads = 8
+    val perThread = 250
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(qpsThreads)
+    val tq0 = System.nanoTime()
+    val futs = (0 until qpsThreads).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var i = 0
+          while (i < perThread) {
+            handle.servedTopK(benchQueries((t + i) % benchQueries.length), 10)
+            i += 1
+          }
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    val servedQps = qpsThreads * perThread / ((System.nanoTime() - tq0) / 1e9)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f}""")
     spark.stop()
     // free the tmpfs space
     scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()

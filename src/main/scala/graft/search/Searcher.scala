@@ -188,42 +188,59 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         size() > lensSegCap
     }
 
-  private def fetchLens(segs: Seq[Int]): Map[Int, (Array[Int], Seq[PostingRow])] =
-    synchronized {
-      val missing = segs.filterNot(segCache.containsKey)
-      if (missing.nonEmpty) {
-        val fetched = postings.filter(
-            (col("term") === IndexBuilder.TermLens ||
-              col("term") === IndexBuilder.TermDels) &&
-            col("segId").isin(missing: _*))
-          .collect().groupBy(_.segId)
-        missing.foreach { s =>
-          fetched.get(s).foreach { rows =>
-            val lens = rows.find(_.term == IndexBuilder.TermLens)
-              .map(r => Varint.decodeInts(r.docBytes))
-              .getOrElse(Array.emptyIntArray)
-            segCache.put(s,
-              (lens, rows.filter(_.term == IndexBuilder.TermDels).toSeq))
-          }
-        }
-      }
+  // Each cache has its own lock, and NEITHER lock is held across a Spark
+  // fetch: a cold term/segment must not serialize the concurrent hot
+  // queries that the served path exists for (a racing double-fetch of the
+  // same key is benign — both compute identical rows from the pinned
+  // snapshot, last install wins).
+  private val segLock = new Object
+  private val postingLock = new Object
+
+  private def fetchLens(segs: Seq[Int]): Map[Int, (Array[Int], Seq[PostingRow])] = {
+    val hit = segLock.synchronized {
       segs.flatMap(s => Option(segCache.get(s)).map(s -> _)).toMap
     }
+    val missing = segs.filterNot(hit.contains)
+    if (missing.isEmpty) hit
+    else {
+      val fetched = postings.filter(
+          (col("term") === IndexBuilder.TermLens ||
+            col("term") === IndexBuilder.TermDels) &&
+          col("segId").isin(missing: _*))
+        .collect().groupBy(_.segId)
+      val installed = missing.flatMap { s =>
+        fetched.get(s).map { rows =>
+          val lens = rows.find(_.term == IndexBuilder.TermLens)
+            .map(r => Varint.decodeInts(r.docBytes))
+            .getOrElse(Array.emptyIntArray)
+          s -> (lens, rows.filter(_.term == IndexBuilder.TermDels).toSeq)
+        }
+      }
+      segLock.synchronized(installed.foreach { case (s, v) => segCache.put(s, v) })
+      hit ++ installed
+    }
+  }
 
   /** Test hook: current number of cached per-segment doc-length tables. */
-  private[graft] def lensCacheSize: Int = synchronized(segCache.size())
+  private[graft] def lensCacheSize: Int = segLock.synchronized(segCache.size())
 
-  private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] =
-    synchronized {
-      val missing = terms.filterNot(postingCache.containsKey)
-      if (missing.nonEmpty)
-        postings.filter(col("term").isin(missing: _*)).collect()
-          .groupBy(_.term)
-          .foreach { case (t, rows) => postingCache.put(t, rows) }
-      terms.iterator
-        .map(t => t -> Option(postingCache.get(t)).getOrElse(Array.empty[PostingRow]))
-        .toMap
+  private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] = {
+    val hit = postingLock.synchronized {
+      terms.flatMap(t => Option(postingCache.get(t)).map(t -> _)).toMap
     }
+    val missing = terms.filterNot(hit.contains)
+    if (missing.isEmpty) hit
+    else {
+      val fetched = postings.filter(col("term").isin(missing: _*)).collect()
+        .groupBy(_.term)
+      // absent terms cache an empty list too — the pinned snapshot cannot
+      // grow one later, and refetching a hot absent term every query would
+      // be a per-query Spark job
+      val installed = missing.map(t => t -> fetched.getOrElse(t, Array.empty[PostingRow]))
+      postingLock.synchronized(installed.foreach { case (t, v) => postingCache.put(t, v) })
+      hit ++ installed
+    }
+  }
 
   /** Fetch (and memoize) the sorted url tables of `segs`. */
   private def urlTables(segs: Seq[Int]): Map[Int, Array[String]] = {
