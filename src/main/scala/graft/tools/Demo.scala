@@ -16,8 +16,7 @@ object Demo {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000L)
     val queries = if (args.length > 1) args.drop(1).toSeq
                   else Seq("the data", "merge sort join", "wi-fi")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+    val spark = Sessions.withMaster(SparkSession.builder(), "local[8]")
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -10,8 +10,7 @@ import graft.ops.Multimodal
 object MediaDemo {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/root/testdata/sf0.001/documents.parquet")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    val spark = Sessions.withMaster(SparkSession.builder(), "local[4]")
       .appName("graft-media-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -10,8 +10,7 @@ import graft.streaming.EventStream
   * Usage: runMain graft.tools.StreamDemo [eventsDir] */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    val spark = Sessions.withMaster(SparkSession.builder(), "local[4]")
       .appName("graft-stream-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
