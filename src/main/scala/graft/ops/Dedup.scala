@@ -36,10 +36,11 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
     *
     * Shape: block on shingle -> equi-join -> count intersections -> sizes
-    * join -> threshold filter. Exact (no candidate misses). At 100TB the
-    * shingle join is the Zipf-skew hotspot; the scale path is the MinHash
-    * variant below (candidate volume independent of shingle df), which is
-    * why both exist. */
+    * join -> threshold filter. Exact, and the cheapest plan (one shuffle
+    * join + one aggregation) when shingle document frequencies are bounded.
+    * Under Zipf head-shingle skew use [[jaccardPairsPrefix]] — same exact
+    * output, head shingles never join keys — or the MinHash variant below
+    * when approximate recall is acceptable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
@@ -51,6 +52,66 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[jaccardPairs]] with prefix filtering (SSJoin, public literature —
+    * the same lemma as DataDrivenRelation's weighted variant, with uniform
+    * weights): EXACT at any threshold, and head shingles never become join
+    * keys — the skew-proof form for Zipf-distributed web shingles.
+    *
+    *  - J(A,B) = i/(a+b-i) >= t  ⇒  i >= c·(a+b) > c·a and > c·b, where
+    *    c = t/(1+t)
+    *  - order every doc's shingles by (df asc, shingle asc) — rarest first
+    *    in one GLOBAL order — and let the prefix be the head whose strict
+    *    suffix holds < c·sz elements. If the order-minimum shared shingle
+    *    of a qualifying pair were outside A's prefix, every shared shingle
+    *    would sit in A's strict suffix and i < c·a — contradiction; so it
+    *    lies in BOTH prefixes and the pair-generating equi-join needs
+    *    prefix rows only. Head shingles (df ≈ n_docs) land in suffixes;
+    *    they still count in the exact intersection of survivors
+    *  - a lossless size-ratio prune (J <= min/max ⇒ min >= t·max) runs
+    *    before the intersection count
+    *
+    * Costs ~4 extra shuffles (df agg, per-doc window, candidate distinct,
+    * re-join for the intersection) — worth it exactly when the simple
+    * join's head-shingle blowup dominates, i.e. at web scale, not at the
+    * bench's bounded-df synthetic corpus (measured 2.8 s vs 12.5 s at
+    * sf0.1 — which is why q11 keeps the simple plan and DedupSpec pins the
+    * two plans equal). */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // 1e-12 slack on c: float rounding must only ever ENLARGE the prefix
+    val c = threshold / (1.0 + threshold) - 1e-12
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ord = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = sh.join(dfs, "shingle").join(sizes, "id")
+      .withColumn("pos", row_number().over(ord))
+      .filter(col("sz") - col("pos") + 1 >= lit(c) * col("sz"))
+      .select("id", "shingle")
+
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val pruned = candidates
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .filter(least(col("sza"), col("szb")) >=
+        lit(threshold) * greatest(col("sza"), col("szb")))
+
+    val inter = pruned
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "sza", "szb")
+      .agg(count(lit(1)).as("inter"))
+    inter
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)

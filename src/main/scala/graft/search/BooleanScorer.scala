@@ -31,7 +31,11 @@ object BooleanScorer {
       lens: Array[Int],
       segBase: Long,
       avgdl: Double,
-      k: Int): Array[SegHit] = {
+      k: Int,
+      // external lower bound on the GLOBAL kth-best score (see Wand.topK):
+      // a segment whose total scoring bound falls strictly below it cannot
+      // contribute; equality survives for the global docId tie-break
+      floor: Double = Double.NegativeInfinity): Array[SegHit] = {
     require(required.nonEmpty || ids != null,
       "conjunctiveTopK needs a required clause; use Wand for pure-should")
     if (k <= 0) return Array.empty
@@ -49,6 +53,7 @@ object BooleanScorer {
       while (i < scoring.length) { s += scoring(i).maxScore; i += 1 }
       s
     }
+    if (staticBound < floor) return Array.empty // globally out, whole segment
 
     var idsPos = 0
     var candidate = segBase + 1

@@ -67,7 +67,9 @@ private[search] object BoolEval {
       c: CompiledQuery,
       blockSize: Int,
       avgdl: Double,
-      k: Int): Iterator[(Long, Double, Int)] = {
+      k: Int,
+      // external lower bound on the global kth-best score (Wand.topK docs)
+      floor: Double = Double.NegativeInfinity): Iterator[(Long, Double, Int)] = {
     val byTerm = new scala.collection.mutable.HashMap[String, PostingRow]
     rows.foreach(r => byTerm.update(r.term, r))
     // a segment missing any required term cannot match
@@ -100,9 +102,10 @@ private[search] object BoolEval {
     val hits =
       if (c.hasRequired)
         BooleanScorer.conjunctiveTopK((c.must ++ c.filter).map(iter), scoring,
-          excluded, ids, lens, IndexBuilder.segBase(segId), avgdl, k)
+          excluded, ids, lens, IndexBuilder.segBase(segId), avgdl, k, floor)
       else if (scoring.isEmpty) Array.empty[SegHit]
-      else Wand.topK(scoring, lens, IndexBuilder.segBase(segId), avgdl, k, excluded)
+      else Wand.topK(scoring, lens, IndexBuilder.segBase(segId), avgdl, k,
+        excluded, floor)
     hits.iterator.map(h => (h.docId, h.score, segId))
   }
 }
@@ -436,14 +439,45 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     // only the candidate segments' doc-length/tombstone tables are pulled
     // (LRU-kept)
     val lens = fetchLens(candSegs)
+    // one pass groups each term's rows by segment (term order preserved
+    // within a segment — the scorer's float-accumulation order contract);
+    // re-filtering every term's whole row array per segment would be
+    // O(segments × total rows) per query
+    val rowsBySeg = {
+      val m = scala.collection.mutable.HashMap.empty[Int, ArrayBuffer[PostingRow]]
+      wantedTerms.foreach { t =>
+        rowsByTerm(t).foreach(r =>
+          m.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r)
+      }
+      m
+    }
     // segments score independently; parallelize across driver cores (the
-    // per-segment scorer state is private; merge order is pinned afterwards)
+    // per-segment scorer state is private; merge order is pinned
+    // afterwards). Finished segments publish their local kth-best score
+    // into a shared floor — a monotone lower bound of the GLOBAL kth-best
+    // (any superset's kth max >= a subset's kth max) — so later segments'
+    // WAND/conjunction runs prune against it from the start. Serving cost
+    // then stops scaling with segment count: after the first wave the
+    // floor sits near the final theta and whole segments/blocks skip.
+    val floorBits = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToRawLongBits(Double.NegativeInfinity))
+    def floorNow: Double = java.lang.Double.longBitsToDouble(floorBits.get())
+    def raiseFloor(v: Double): Unit = {
+      var cur = floorBits.get()
+      while (v > java.lang.Double.longBitsToDouble(cur) &&
+          !floorBits.compareAndSet(cur, java.lang.Double.doubleToRawLongBits(v)))
+        cur = floorBits.get()
+    }
     val hits = candSegs.par.flatMap { segId =>
       lens.get(segId) match {
         case None => Seq.empty
         case Some((l, dels)) =>
-          val rows = wantedTerms.flatMap(t => rowsByTerm(t).filter(_.segId == segId))
-          BoolEval.scoreSegment(segId, rows, l, dels, c, blockSize, avgdl, k).toSeq
+          val rows = rowsBySeg.get(segId).map(_.toSeq).getOrElse(Nil)
+          val segHits = BoolEval.scoreSegment(segId, rows, l, dels, c,
+            blockSize, avgdl, k, floorNow).toSeq
+          if (segHits.lengthCompare(k) >= 0)
+            raiseFloor(segHits.iterator.map(_._2).min)
+          segHits
       }
     }.seq.toArray
     val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)

@@ -23,14 +23,24 @@ object Wand {
   /** `iters` must be sorted by term asc and started; `lens(rank-1)` is the
     * doc length for seg-local rank. `exclude` cursors (bool mustNot) veto
     * documents without contributing score — exclusion only removes
-    * candidates, so the WAND upper-bound pruning stays exact. */
+    * candidates, so the WAND upper-bound pruning stays exact.
+    *
+    * `floor` is an optional EXTERNAL pruning bound: any valid lower bound
+    * on the GLOBAL (cross-segment) kth-best score. A doc with score
+    * strictly below the global kth can never enter the global top-k no
+    * matter its docId, so dropping on `bound < floor` is exact; equality is
+    * NOT dropped (an equal score can still win the global docId-asc
+    * tie-break against the segment that produced the floor). The local
+    * heap rule keeps its `<=` drop — within one segment a later equal
+    * score always loses — and the two rules prune independently. */
   def topK(
       iters: Array[PostingIterator],
       lens: Array[Int],
       segBase: Long,
       avgdl: Double,
       k: Int,
-      exclude: Array[PostingIterator] = Array.empty): Array[SegHit] = {
+      exclude: Array[PostingIterator] = Array.empty,
+      floor: Double = Double.NegativeInfinity): Array[SegHit] = {
     val n = iters.length
     if (n == 0 || k <= 0) return Array.empty
 
@@ -99,7 +109,7 @@ object Wand {
           if (refs(p).exhausted) p = n
           else {
             acc += refs(p).maxScore
-            if (acc > th) found = true else p += 1
+            if (acc > th && acc >= floor) found = true else p += 1
           }
         }
         if (!found) continue = false
@@ -117,7 +127,7 @@ object Wand {
               bm += refs(i).blockMaxScore
               i += 1
             }
-            if (heap.size < k || bm > th) evalDoc(pivotDoc)
+            if ((heap.size < k || bm > th) && bm >= floor) evalDoc(pivotDoc)
             else {
               // skip past the smallest block boundary among 0..q, but not
               // past the next cursor's document

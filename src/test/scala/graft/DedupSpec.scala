@@ -54,6 +54,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("prefix-filtered Jaccard == simple-join Jaccard, incl. under head skew") {
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val simple = Dedup.jaccardPairs(docs, "id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefixed = Dedup.jaccardPairsPrefix(docs, "id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefixed === simple, s"threshold $t")
+    }
+    // plant a universal head shingle (every doc starts with the same 3
+    // tokens -> a df == n_docs shingle) and require equality to hold — the
+    // case the prefix filter exists for
+    val skewed = docs.select(col("id"),
+      concat(lit("zz zz zz "), col("text")).as("text"))
+    val simple = Dedup.jaccardPairs(skewed, "id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefixed = Dedup.jaccardPairsPrefix(skewed, "id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefixed === simple)
+    assert(simple.nonEmpty)
+  }
+
   test("MinHash-LSH pairs: exact precision, full recall on this corpus") {
     val lsh = Dedup.minhashLshPairs(docs, "id", "text", 3, 64, 16, 0.5)
       .as[(Long, Long, Double)].collect().toSet
