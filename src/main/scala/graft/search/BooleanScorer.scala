@@ -106,6 +106,7 @@ object BooleanScorer {
         }
       }
     }
-    heap.dequeueAll.reverse.toArray // best first
+    // best first; sub-floor hits cannot reach the global top-k
+    heap.dequeueAll.reverse.filter(_.score >= floor).toArray
   }
 }

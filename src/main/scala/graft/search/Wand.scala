@@ -156,6 +156,8 @@ object Wand {
         }
       }
     }
-    heap.dequeueAll.reverse.toArray // best first
+    // best first; sub-floor stragglers that entered the heap before the
+    // bounds tightened are dropped — they cannot reach the global top-k
+    heap.dequeueAll.reverse.filter(_.score >= floor).toArray
   }
 }

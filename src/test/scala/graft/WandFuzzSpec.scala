@@ -43,6 +43,62 @@ class WandFuzzSpec extends SparkSuite {
     }
   }
 
+  test("external floor: exact results at every boundary (incl. floor == a hit's score)") {
+    // floor semantics: result == (true top-k).filter(score >= floor) — a doc
+    // scoring exactly the floor must SURVIVE (it can still win the global
+    // docId tie-break against the segment that produced the floor)
+    (1 to 20).foreach { round =>
+      val n = 20 + rng.nextInt(80)
+      val segBase = IndexBuilder.segBase(1)
+      val lens = Array.fill(n)(5 + rng.nextInt(40))
+      val avgdl = lens.sum.toDouble / n
+      val terms = Seq("aa", "bb", "cc").take(1 + rng.nextInt(3))
+      val postings = terms.map { t =>
+        val docs = (1 to n).filter(_ => rng.nextInt(3) > 0) // ~2/3 density
+        t -> docs.map(r => (segBase + r, 1 + rng.nextInt(5), lens(r - 1)))
+      }.filter(_._2.nonEmpty)
+      val blockSize = 1 + rng.nextInt(6)
+      val iters = postings.map { case (t, ps) =>
+        val row = IndexBuilder.encodeForTest(
+          IndexBuilder.TokRowsForTest(1, t, ps.map(_._1).toArray,
+            ps.map(_._2).toArray, ps.map(_._3).toArray), blockSize)
+        val it = new PostingIterator(row,
+          Bm25.idf(n.toLong, ps.size.toLong), blockSize, avgdl)
+        it -> (t, ps)
+      }
+      // brute force, ascending term order (same float order as Wand's eval)
+      val byDoc = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+      iters.sortBy(_._2._1).foreach { case (it, (_, ps)) =>
+        ps.foreach { case (d, tf, dl) =>
+          byDoc(d) = byDoc.getOrElse(d, 0.0) + it.idf * Bm25.tfNorm(tf, dl, avgdl)
+        }
+      }
+      val full = byDoc.toSeq.sortBy { case (d, s) => (-s, d) }
+      val scores = full.map(_._2)
+      val floors = Seq(Double.NegativeInfinity, scores.head + 1.0) ++
+        scores.take(6) ++ // exact boundaries
+        scores.take(5).map(_ - 1e-9) // just below
+      floors.foreach { f =>
+        val k = 1 + rng.nextInt(12)
+        val expected = full.take(k).filter(_._2 >= f)
+        // cursors are single-use — rebuild per floor
+        val fresh = postings.map { case (t, ps) =>
+          val row = IndexBuilder.encodeForTest(
+            IndexBuilder.TokRowsForTest(1, t, ps.map(_._1).toArray,
+              ps.map(_._2).toArray, ps.map(_._3).toArray), blockSize)
+          val it = new PostingIterator(row,
+            Bm25.idf(n.toLong, ps.size.toLong), blockSize, avgdl)
+          it.start()
+          it
+        }.sortBy(_.term).toArray
+        val got = graft.search.Wand.topK(fresh, lens, segBase, avgdl, k,
+          floor = f)
+        assert(got.map(h => (h.docId, h.score)).toSeq === expected,
+          s"round=$round k=$k floor=$f")
+      }
+    }
+  }
+
   test("posting cursor: random seeks agree with full decode") {
     (1 to 50).foreach { it =>
       val n = 1 + rng.nextInt(300)
