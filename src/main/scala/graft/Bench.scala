@@ -84,6 +84,10 @@ object Bench {
       spark.sparkContext.setLogLevel("WARN")
       val input = spark.read.parquet(corpusDir)
       repIdx += 1
+      // keep at most ONE finished index on tmpfs: 17 reps x GBs would
+      // exhaust /dev/shm on smaller hosts before the final cleanup
+      if (lastIndexDir != null)
+        scala.reflect.io.Directory(new java.io.File(lastIndexDir)).deleteRecursively()
       val dir = Files.createTempDirectory(Paths.get(base), s"idx-$n-$repIdx").toString
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, input, dir, cfg)

@@ -86,7 +86,10 @@ object Deletes {
     var newlyDead = 0L
     val rows = requested.toSeq.sortBy(_._1).map { case (seg, ids) =>
       val old = prior.getOrElse(seg, Array.emptyLongArray)
-      newlyDead += ids.distinct.count(!old.contains(_))
+      // set-based dedup: Array.contains here would be O(|old| x |ids|) —
+      // quadratic driver time when two large delete-by-query calls overlap
+      val oldSet = old.toSet
+      newlyDead += ids.distinct.count(!oldSet.contains(_))
       val all = (old ++ ids).distinct.sorted
       IndexBuilder.encodeDocIdSet(seg, all, snap.blockSize)
     }

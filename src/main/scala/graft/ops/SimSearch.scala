@@ -92,6 +92,16 @@ object SimSearch {
       threshold: Double, numBlocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // the blocked representation carries ids as primitive longs; a silent
+    // cast of a string/double id column would null-out or collide ids, so
+    // reject non-integral id types loudly (hash string ids to longs — or
+    // use the LSH text/minhash paths — before calling this)
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(emb.schema(idCol).dataType)
+    }, s"nearDupPairs needs an integral id column; '$idCol' is " +
+      emb.schema(idCol).dataType.simpleString)
     val K = numBlocks
     val headDims = 8
     // margin: the 6-dp rounding applied to the emitted cosine can raise it

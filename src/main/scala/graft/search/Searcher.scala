@@ -164,8 +164,18 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   }
 
   // warm handles memoize per-segment url tables on the driver: the second
-  // per-query Spark job disappears once a segment's winners have been seen
-  private val urlCache = scala.collection.mutable.HashMap.empty[Int, Array[String]]
+  // per-query Spark job disappears once a segment's winners have been seen.
+  // LRU-bounded like the other two driver caches — url tables are the
+  // LARGEST per-segment artifact (one String per document), so an unbounded
+  // map would grow toward the whole corpus's url bytes on a long-lived
+  // handle answering ids lookups across many segments.
+  private val urlSegCap = 1024
+  private val urlCache =
+    new java.util.LinkedHashMap[Int, Array[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, Array[String]]): Boolean =
+        size() > urlSegCap
+    }
 
   // served path: hot posting rows + doc-length tables memoized on the
   // driver (bounded LRU), so repeated-term queries never touch the cluster
@@ -245,20 +255,27 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     }
   }
 
-  /** Fetch (and memoize) the sorted url tables of `segs`. */
+  /** Fetch (and memoize, LRU) the sorted url tables of `segs`. The result
+    * map holds strong references, so entries evicted between calls are
+    * simply refetched — never observed half-missing. */
   private def urlTables(segs: Seq[Int]): Map[Int, Array[String]] = {
-    val missing = urlCache.synchronized(segs.distinct.filterNot(urlCache.contains))
-    if (missing.nonEmpty) {
+    val hit = urlCache.synchronized {
+      segs.distinct.flatMap(s => Option(urlCache.get(s)).map(s -> _)).toMap
+    }
+    val missing = segs.distinct.filterNot(hit.contains)
+    if (missing.isEmpty) hit
+    else {
       val fetched = postings
         .filter(col("term") === IndexBuilder.TermUrls &&
           col("segId").isin(missing: _*))
         .collect().map(r => r.segId -> Varint.decodeStrings(r.tfBytes))
       urlCache.synchronized {
-        fetched.foreach { case (s, u) => urlCache.getOrElseUpdate(s, u) }
+        fetched.foreach { case (s, u) => urlCache.put(s, u) }
       }
+      hit ++ fetched ++
+        missing.filterNot(fetched.map(_._1).contains)
+          .map(_ -> Array.empty[String])
     }
-    urlCache.synchronized(
-      segs.map(s => s -> urlCache.getOrElse(s, Array.empty[String])).toMap)
   }
 
   private def dictDf(terms: Seq[String]): Map[String, Long] = driverDict match {

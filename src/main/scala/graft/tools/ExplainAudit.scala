@@ -83,11 +83,10 @@ object ExplainAudit {
       "CartesianProduct" -> false,
       "BroadcastNestedLoopJoin" -> false))
 
-    // 7. q29 d2d weighted-overlap: no mandatory full-vocabulary broadcast —
-    // the token equi-join must be shuffle-based (AQE may still broadcast a
-    // post-prune side at this SF; assert the *vocab* side carries its
-    // df-prune filter before any join, and the plan has a shuffle join or
-    // an AQE-chosen small-side broadcast, not a nested loop).
+    // 7. q29 d2d weighted-overlap: candidates come from the weighted
+    // prefix filter (head tokens never join keys), so the plan must never
+    // degrade to a nested-loop/cartesian product; AQE is free to broadcast
+    // a post-prune small side at this SF.
     val p7 = plan(graft.SparkEntry.queries("q29_d2d_relation")(spark, sfDir))
     check("q29 no nested-loop / vocab broadcast", p7, Seq(
       "CartesianProduct" -> false,

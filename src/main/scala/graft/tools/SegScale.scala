@@ -27,8 +27,7 @@ object SegScale {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val P = 4096
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = Sessions.withMaster(SparkSession.builder(), "local[32]")
       .appName("graft-segscale")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

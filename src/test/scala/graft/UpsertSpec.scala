@@ -120,10 +120,22 @@ class UpsertSpec extends SparkSuite {
     assert(snaps.size >= 3) // build, tombstone, append
     snaps.sliding(2).foreach { case Seq(a, b) => assert(b.parent === a.id) }
 
-    // old-version terms that vanished from the live corpus still hit in the
-    // pinned snapshot via their old docIds, not in LATEST
+    // the same url resolves to DIFFERENT docIds in the two snapshots: the
+    // pinned reader serves the generation-0 version, LATEST the appended one
     val latest = new IndexHandle(spark, dir, warm = false)
     try {
+      val u = recrawl.head._1
+      val pinnedAgain = new IndexHandle(spark, dir, warm = false,
+        snapshotId = Some(v1.id))
+      try {
+        val oldId = pinnedAgain.search(BoolQuery(ids = Some(Seq(u))), 5).head.docId
+        val newId = latest.search(BoolQuery(ids = Some(Seq(u))), 5).head.docId
+        assert((oldId >> IndexBuilder.SegShift) < cfg.numSegments,
+          "pinned snapshot must serve the generation-0 version")
+        assert((newId >> IndexBuilder.SegShift) >= cfg.numSegments,
+          "LATEST must serve the appended-generation version")
+        assert(oldId !== newId)
+      } finally pinnedAgain.close()
       val marker = Searcher.search(spark, dir, BoolQuery(must = Seq("zzrecrawled")), 5)
       assert(marker.nonEmpty)
     } finally latest.close()
