@@ -85,4 +85,80 @@ object IndexStream {
       .foreachBatch((b: DataFrame, id: Long) =>
         applyBatch(spark, indexDir, cfg)(b, id))
       .start()
+
+  // ---- streaming RECRAWL ingestion: micro-batches may re-capture urls ----
+
+  /** appendStream's replay detection (is the batch's first url in the top
+    * generation?) breaks down when batches legitimately recapture urls, so
+    * the recrawl stream keeps an explicit batch-id ledger next to the
+    * snapshot log, written atomically AFTER the batch's commits. Replay of
+    * an acknowledged batch is skipped via the ledger; a crash between the
+    * upsert's commits and the ledger write re-applies the batch — the
+    * re-upsert tombstones the identical generation it just wrote and
+    * appends it again, so the EFFECT stays exactly-once (query results
+    * identical; the redundant generation is reclaimed by purge/compact). */
+  private def ledgerPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "snapshots", "STREAM_LEDGER")
+
+  private[graft] def lastBatchId(indexDir: String): Long = {
+    val p = ledgerPath(indexDir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else -1L
+  }
+
+  private def writeLedger(indexDir: String, batchId: Long): Unit = {
+    val p = ledgerPath(indexDir)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(".STREAM_LEDGER.tmp")
+    java.nio.file.Files.writeString(tmp, batchId.toString)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** foreachBatch body for the recrawl stream: lang-scope, enforce the
+    * extraction invariant, latest-edition-per-url within the batch, then
+    * upsert (recaptured urls tombstone their old version, fresh urls
+    * append). Public so tests can drive crash/replay scenarios. */
+  def refreshBatch(spark: SparkSession, indexDir: String, cfg: IndexConfig,
+      langs: Set[String] = Set.empty)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    if (batchId <= lastBatchId(indexDir)) return // acknowledged replay
+    val scoped =
+      if (langs.isEmpty) batch
+      else batch.filter(col("lang").isin(langs.toSeq: _*))
+    val processed = graft.corpus.Ingest
+      .latestPerUrl(graft.corpus.Ingest.extractValidate(scoped)._1)
+      .select("url", "text")
+    Snapshot.latest(indexDir) match {
+      case None =>
+        IndexBuilder.build(spark, processed, indexDir, cfg)
+      case Some(p) if !p.isComplete =>
+        // crash mid-append of THIS batch (its tombstone commit, if any,
+        // preceded the append) — deterministic resume from the same batch
+        if (p.generations == 1)
+          IndexBuilder.build(spark, processed, indexDir, cfg, resume = true)
+        else IndexBuilder.append(spark, processed, indexDir, resume = true)
+      case Some(_) =>
+        IndexBuilder.upsert(spark, processed, indexDir)
+    }
+    writeLedger(indexDir, batchId)
+  }
+
+  /** Start the streaming recrawl ingestion over a raw crawl directory
+    * (url, warc_ts, html, text, lang rows). */
+  def refreshStream(spark: SparkSession, srcDir: String, indexDir: String,
+      cfg: IndexConfig, checkpointDir: String,
+      langs: Set[String] = Set.empty,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val r = spark.readStream.schema(
+      "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(srcDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        refreshBatch(spark, indexDir, cfg, langs)(b, id))
+      .start()
+  }
 }

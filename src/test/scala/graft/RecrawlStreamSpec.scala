@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.corpus.{Corpus, Html, Ingest}
+import graft.index.{Deletes, IndexBuilder, IndexConfig, Snapshot}
+import graft.search.{BoolQuery, IndexHandle, Searcher}
+import graft.streaming.IndexStream
+
+/** Streaming recrawl ingestion: micro-batches that RE-CAPTURE urls (the
+  * case appendStream's contract excludes) flow through refreshBatch —
+  * validate, latest-edition-per-url, upsert — with a batch-id ledger for
+  * replay idempotence and deterministic crash resume. */
+class RecrawlStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val cfg = IndexConfig(numSegments = 4, blockSize = 16)
+
+  private lazy val crawl0 = Corpus.pages(spark, 120, seed = 21,
+    vocabSize = 300, medianLen = 30).collect().toSeq
+  private lazy val crawl1 = {
+    val recaptured = crawl0.zipWithIndex.collect { case (p, i) if i % 4 == 0 =>
+      val newText = p.text + " zzrecrawl stream"
+      p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + 86400000L),
+        html = Html.wrap(p.url, newText), text = newText)
+    }
+    recaptured ++ Corpus.pages(spark, 15, seed = 22, vocabSize = 300,
+      medianLen = 30, startId = 9000).collect().toSeq
+  }
+
+  private def canon(hits: Array[graft.search.Hit]) =
+    hits.map(h => (h.url, h.score)).sortBy { case (u, s) => (-s, u) }.toSeq
+
+  test("streamed recrawl == batch build + refreshIndex over the same crawls") {
+    val src = Files.createTempDirectory("graft-rs-src").toString
+    def writeChunk(pages: Seq[graft.corpus.Page], i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-rs-chunk")
+      pages.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(f, java.nio.file.Paths.get(src, f"part-$i%03d.parquet"))
+    }
+    writeChunk(crawl0, 0)
+    val idxDir = Files.createTempDirectory("graft-rs-idx").toString
+    val ckpt = Files.createTempDirectory("graft-rs-ckpt").toString
+    val q = IndexStream.refreshStream(spark, src, idxDir, cfg, ckpt,
+      maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      writeChunk(crawl1, 1)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snap = Snapshot.latest(idxDir).get
+    assert(snap.isComplete)
+    assert(snap.deletedDocs === crawl1.count(p => crawl0.exists(_.url == p.url)))
+
+    // reference: batch build of crawl0 + Ingest.refreshIndex(crawl1)
+    val refDir = Files.createTempDirectory("graft-rs-ref").toString
+    IndexBuilder.build(spark, crawl0.toDF().select("url", "text"), refDir, cfg)
+    Ingest.refreshIndex(spark, crawl1.toDF(), refDir)
+    Seq("the data", "zzrecrawl", "merge sort").foreach { query =>
+      val a = canon(Searcher.topK(spark, idxDir, query, 200))
+      val b = canon(Searcher.topK(spark, refDir, query, 200))
+      assert(a === b, s"stream vs batch drift: $query")
+    }
+  }
+
+  test("acknowledged replay is a no-op; crash mid-append resumes deterministically") {
+    val idxDir = Files.createTempDirectory("graft-rs-replay").toString
+    IndexStream.refreshBatch(spark, idxDir, cfg)(crawl0.toDF(), 0L)
+    val s1 = Snapshot.latest(idxDir).get
+    // replay of batch 0 (ledger has it) — nothing committed
+    IndexStream.refreshBatch(spark, idxDir, cfg)(crawl0.toDF(), 0L)
+    assert(Snapshot.latest(idxDir).get.id === s1.id)
+
+    // crash scenario for batch 1: tombstones committed, append half-done
+    val processed = Ingest.latestPerUrl(
+      Ingest.extractValidate(crawl1.toDF())._1).select("url", "text")
+    val h = new IndexHandle(spark, idxDir, warm = false)
+    val dead = h.resolveDocIds(crawl1.map(_.url).filter(u =>
+      crawl0.exists(_.url == u)))
+    Deletes.deleteDocIds(spark, idxDir, dead)
+    IndexBuilder.append(spark, processed, idxDir,
+      simulateOnlySegments = Some(Set(4, 5))) // half the new generation
+    assert(!Snapshot.latest(idxDir).get.isComplete)
+
+    // restart replays batch 1: ledger says unapplied -> resume completes it
+    IndexStream.refreshBatch(spark, idxDir, cfg)(crawl1.toDF(), 1L)
+    val done = Snapshot.latest(idxDir).get
+    assert(done.isComplete && done.generations === 2)
+    assert(IndexStream.lastBatchId(idxDir) === 1L)
+
+    // and the result equals a clean two-batch refresh
+    val refDir = Files.createTempDirectory("graft-rs-replay-ref").toString
+    IndexStream.refreshBatch(spark, refDir, cfg)(crawl0.toDF(), 0L)
+    IndexStream.refreshBatch(spark, refDir, cfg)(crawl1.toDF(), 1L)
+    Seq("the data", "zzrecrawl").foreach { query =>
+      assert(canon(Searcher.topK(spark, idxDir, query, 200)) ===
+        canon(Searcher.topK(spark, refDir, query, 200)), s"resume drift: $query")
+    }
+    // a recaptured url serves exactly its newest edition
+    val u = crawl1.find(p => crawl0.exists(_.url == p.url)).get.url
+    val hit = Searcher.search(spark, idxDir, BoolQuery(ids = Some(Seq(u))), 5)
+    assert(hit.size === 1)
+  }
+}
