@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.{Hashing, IndexBuilder, IndexConfig, Snapshot, Varint}
+import graft.index.{Hashing, IndexBuilder, IndexConfig, Snapshot, SnapshotMeta, Varint}
 
 /** Incremental index maintenance from a page stream — the streaming
   * counterpart of the engine's own batch build (SURVEY §2.10 applied to
@@ -26,11 +26,31 @@ import graft.index.{Hashing, IndexBuilder, IndexConfig, Snapshot, Varint}
 object IndexStream {
 
   def readPages(spark: SparkSession, srcDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema("url STRING, text STRING")
+      maxFilesPerTrigger: Option[Int] = None,
+      schema: String = "url STRING, text STRING"): DataFrame = {
+    val r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(srcDir)
   }
+
+  /** Shared None/incomplete-snapshot dispatch: fresh build, deterministic
+    * resume of a crashed generation, or the stream-specific complete-index
+    * action. Both streams' crash behavior lives here, once. */
+  private def buildOrResume(spark: SparkSession, indexDir: String,
+      cfg: IndexConfig, pages: DataFrame)(
+      whenComplete: SnapshotMeta => Unit): Unit =
+    Snapshot.latest(indexDir) match {
+      case None =>
+        IndexBuilder.build(spark, pages, indexDir, cfg)
+      case Some(p) if !p.isComplete =>
+        // crash mid-commit: finish the SAME batch's generation — the build
+        // is deterministic, so resume produces the bytes the first attempt
+        // would have (gen 0 resumes via build, later gens via append)
+        if (p.generations == 1)
+          IndexBuilder.build(spark, pages, indexDir, cfg, resume = true)
+        else IndexBuilder.append(spark, pages, indexDir, resume = true)
+      case Some(p) => whenComplete(p)
+    }
 
   /** True iff `url` is already a document of the latest snapshot's TOP
     * generation — one pushed-down parquet read of that generation's url
@@ -57,21 +77,11 @@ object IndexStream {
   def applyBatch(spark: SparkSession, indexDir: String, cfg: IndexConfig)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    Snapshot.latest(indexDir) match {
-      case None =>
-        IndexBuilder.build(spark, batch, indexDir, cfg)
-      case Some(p) if !p.isComplete =>
-        // crash mid-commit: finish the SAME batch's generation — the build
-        // is deterministic, so resume produces the bytes the first attempt
-        // would have (gen 0 resumes via build, later gens via append)
-        if (p.generations == 1) IndexBuilder.build(spark, batch, indexDir, cfg,
-          resume = true)
-        else IndexBuilder.append(spark, batch, indexDir, resume = true)
-      case Some(_) =>
-        val firstUrl = batch.select("url").head().getString(0)
-        if (!inTopGeneration(spark, indexDir, firstUrl))
-          IndexBuilder.append(spark, batch, indexDir)
-        // else: replayed, already-committed batch → no-op
+    buildOrResume(spark, indexDir, cfg, batch) { _ =>
+      val firstUrl = batch.select("url").head().getString(0)
+      if (!inTopGeneration(spark, indexDir, firstUrl))
+        IndexBuilder.append(spark, batch, indexDir)
+      // else: replayed, already-committed batch → no-op
     }
   }
 
@@ -90,28 +100,41 @@ object IndexStream {
 
   /** appendStream's replay detection (is the batch's first url in the top
     * generation?) breaks down when batches legitimately recapture urls, so
-    * the recrawl stream keeps an explicit batch-id ledger next to the
-    * snapshot log, written atomically AFTER the batch's commits. Replay of
-    * an acknowledged batch is skipped via the ledger; a crash between the
-    * upsert's commits and the ledger write re-applies the batch — the
-    * re-upsert tombstones the identical generation it just wrote and
-    * appends it again, so the EFFECT stays exactly-once (query results
-    * identical; the redundant generation is reclaimed by purge/compact). */
+    * the recrawl stream keeps an explicit ledger next to the snapshot log,
+    * written atomically AFTER the batch's commits. The ledger records
+    * (lineage, batchId): batch ids only mean anything within ONE
+    * Structured-Streaming checkpoint lineage — a restart with a fresh or
+    * cleared checkpointDir renumbers batches from 0, and skipping those
+    * against an old lineage's ids would silently drop fresh data. A
+    * lineage change resets the ledger; the new lineage then re-processes
+    * the source, and re-upserting already-indexed content is safe (below).
+    *
+    * Crash windows (at-least-once application, exactly-once ids/search
+    * MEMBERSHIP): a crash between the upsert's commits and the ledger
+    * write re-applies the batch — the re-upsert tombstones the generation
+    * it just wrote and appends an identical one. Search results keep
+    * serving exactly the latest edition of every url; like every
+    * tombstone-not-purged state, N/avgdl/df count the dead duplicate until
+    * `Deletes.purge`, so absolute BM25 scores in that window differ from a
+    * never-crashed run's (ES between a delete and a merge behaves the same
+    * way). Run purge on any schedule to converge stats. */
   private def ledgerPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "snapshots", "STREAM_LEDGER")
 
-  private[graft] def lastBatchId(indexDir: String): Long = {
+  private[graft] def lastBatchId(indexDir: String, lineage: String): Long = {
     val p = ledgerPath(indexDir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toLong
-    else -1L
+    if (!java.nio.file.Files.exists(p)) -1L
+    else java.nio.file.Files.readString(p).trim.split('\n') match {
+      case Array(lin, id) if lin == lineage => id.toLong
+      case _ => -1L // different (or pre-lineage) checkpoint lineage
+    }
   }
 
-  private def writeLedger(indexDir: String, batchId: Long): Unit = {
+  private def writeLedger(indexDir: String, lineage: String, batchId: Long): Unit = {
     val p = ledgerPath(indexDir)
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.getParent.resolve(".STREAM_LEDGER.tmp")
-    java.nio.file.Files.writeString(tmp, batchId.toString)
+    java.nio.file.Files.writeString(tmp, s"$lineage\n$batchId")
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -120,30 +143,28 @@ object IndexStream {
   /** foreachBatch body for the recrawl stream: lang-scope, enforce the
     * extraction invariant, latest-edition-per-url within the batch, then
     * upsert (recaptured urls tombstone their old version, fresh urls
-    * append). Public so tests can drive crash/replay scenarios. */
+    * append). `lineage` identifies the checkpoint lineage the batch ids
+    * belong to (refreshStream passes the checkpoint dir). Public so tests
+    * can drive crash/replay scenarios. */
   def refreshBatch(spark: SparkSession, indexDir: String, cfg: IndexConfig,
-      langs: Set[String] = Set.empty)(batch: DataFrame, batchId: Long): Unit = {
+      langs: Set[String] = Set.empty, lineage: String = "manual")(
+      batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    if (batchId <= lastBatchId(indexDir)) return // acknowledged replay
+    if (batchId <= lastBatchId(indexDir, lineage)) return // acknowledged replay
     val scoped =
       if (langs.isEmpty) batch
       else batch.filter(col("lang").isin(langs.toSeq: _*))
     val processed = graft.corpus.Ingest
       .latestPerUrl(graft.corpus.Ingest.extractValidate(scoped)._1)
       .select("url", "text")
-    Snapshot.latest(indexDir) match {
-      case None =>
-        IndexBuilder.build(spark, processed, indexDir, cfg)
-      case Some(p) if !p.isComplete =>
-        // crash mid-append of THIS batch (its tombstone commit, if any,
-        // preceded the append) — deterministic resume from the same batch
-        if (p.generations == 1)
-          IndexBuilder.build(spark, processed, indexDir, cfg, resume = true)
-        else IndexBuilder.append(spark, processed, indexDir, resume = true)
-      case Some(_) =>
-        IndexBuilder.upsert(spark, processed, indexDir)
+    // a batch emptied by lang scoping / validation must not commit a
+    // generation of empty segments (plus a full termdict rebuild) — but it
+    // IS acknowledged, so replays skip it
+    if (processed.isEmpty) { writeLedger(indexDir, lineage, batchId); return }
+    buildOrResume(spark, indexDir, cfg, processed) { _ =>
+      IndexBuilder.upsert(spark, processed, indexDir)
     }
-    writeLedger(indexDir, batchId)
+    writeLedger(indexDir, lineage, batchId)
   }
 
   /** Start the streaming recrawl ingestion over a raw crawl directory
@@ -151,14 +172,12 @@ object IndexStream {
   def refreshStream(spark: SparkSession, srcDir: String, indexDir: String,
       cfg: IndexConfig, checkpointDir: String,
       langs: Set[String] = Set.empty,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val r = spark.readStream.schema(
-      "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
-    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(srcDir).writeStream
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    readPages(spark, srcDir, maxFilesPerTrigger,
+      schema = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        refreshBatch(spark, indexDir, cfg, langs)(b, id))
+        refreshBatch(spark, indexDir, cfg, langs, lineage = checkpointDir)(b, id))
       .start()
-  }
 }

@@ -39,7 +39,12 @@ class RecrawlStreamSpec extends SparkSuite {
       pages.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val f = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.copy(f, java.nio.file.Paths.get(src, f"part-$i%03d.parquet"))
+      // the running file source polls src: stage the copy OUTSIDE it and
+      // ATOMIC_MOVE into place so a half-copied parquet is never listed
+      val staged = Files.copy(f,
+        tmp.resolve(f"part-$i%03d.parquet"))
+      Files.move(staged, java.nio.file.Paths.get(src, f"part-$i%03d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     writeChunk(crawl0, 0)
     val idxDir = Files.createTempDirectory("graft-rs-idx").toString
@@ -90,7 +95,7 @@ class RecrawlStreamSpec extends SparkSuite {
     IndexStream.refreshBatch(spark, idxDir, cfg)(crawl1.toDF(), 1L)
     val done = Snapshot.latest(idxDir).get
     assert(done.isComplete && done.generations === 2)
-    assert(IndexStream.lastBatchId(idxDir) === 1L)
+    assert(IndexStream.lastBatchId(idxDir, "manual") === 1L)
 
     // and the result equals a clean two-batch refresh
     val refDir = Files.createTempDirectory("graft-rs-replay-ref").toString
@@ -104,5 +109,32 @@ class RecrawlStreamSpec extends SparkSuite {
     val u = crawl1.find(p => crawl0.exists(_.url == p.url)).get.url
     val hit = Searcher.search(spark, idxDir, BoolQuery(ids = Some(Seq(u))), 5)
     assert(hit.size === 1)
+
+    // a NEW checkpoint lineage renumbers batches from 0 — its batch 0 must
+    // APPLY (old lineage's ledger must not swallow fresh data); the
+    // re-upsert of identical content is membership-safe, and the ledger
+    // switches to the new lineage
+    val before = Snapshot.latest(idxDir).get.id
+    IndexStream.refreshBatch(spark, idxDir, cfg,
+      lineage = "checkpoint-v2")(crawl1.toDF(), 0L)
+    assert(Snapshot.latest(idxDir).get.id > before,
+      "fresh lineage's batch must not be skipped")
+    assert(IndexStream.lastBatchId(idxDir, "checkpoint-v2") === 0L)
+    assert(IndexStream.lastBatchId(idxDir, "manual") === -1L)
+    // membership is unchanged by the duplicate-generation re-apply
+    assert(Searcher.search(spark, idxDir, BoolQuery(ids = Some(Seq(u))), 5)
+      .size === 1)
+  }
+
+  test("a batch emptied by lang scoping is acknowledged without committing") {
+    val dir = Files.createTempDirectory("graft-rs-empty").toString
+    IndexStream.refreshBatch(spark, dir, cfg, langs = Set("en"))(crawl0.toDF(), 0L)
+    val s = Snapshot.latest(dir).get
+    // batch of ONLY non-en rows: no commit, but the ledger advances
+    val nonEn = crawl0.filter(_.lang != "en")
+    assert(nonEn.nonEmpty)
+    IndexStream.refreshBatch(spark, dir, cfg, langs = Set("en"))(nonEn.toDF(), 1L)
+    assert(Snapshot.latest(dir).get.id === s.id, "no empty generation")
+    assert(IndexStream.lastBatchId(dir, "manual") === 1L)
   }
 }
