@@ -247,6 +247,11 @@ object SparkEntry {
       SimSearch.annTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
     }),
+    "q42_ivf_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nlist = 16, nprobe = 3)
+    }),
 
     // ---- text analysis ----
     "q12_fingerprint" -> ((s, d) =>
@@ -576,6 +581,46 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY probe_id
                     ORDER BY cos DESC, nbr_id) AS rnk
            FROM scored)
+         SELECT probe_id, nbr_id, rnk, cos FROM ranked WHERE rnk <= 5""",
+    // full IVF recomputation: md5-ranked deterministic centroid sample,
+    // nearest-cell assignment by 6-dp-rounded cosine (tie -> lowest
+    // centroid id), nprobe=3 probed cells, exact cosine re-rank — the
+    // oracle runs the ENTIRE IVF pipeline independently (nlist=16).
+    "q42_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         h AS (SELECT vec_id, v,
+                 (CASE WHEN ub >= 9223372036854775808::UBIGINT
+                       THEN ub::HUGEINT - 18446744073709551616::HUGEINT
+                       ELSE ub::HUGEINT END) AS hv
+               FROM (SELECT vec_id, v,
+                       ('0x'||substr(md5('ivf:'||CAST(vec_id AS VARCHAR)),1,16))::UBIGINT AS ub
+                     FROM e)),
+         cent AS (SELECT vec_id AS cid, v AS cv
+                  FROM h ORDER BY hv, vec_id LIMIT 16),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cid) AS rn
+                   FROM e CROSS JOIN cent c) WHERE rn = 1),
+         pcells AS (SELECT vec_id AS probe_id, cid FROM (
+                   SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cid) AS rn
+                   FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 3),
+         cand AS (SELECT p.probe_id, a.vec_id AS nbr_id
+                  FROM pcells p JOIN asg a ON a.cid = p.cid
+                  WHERE a.vec_id <> p.probe_id),
+         scored AS (SELECT c.probe_id, c.nbr_id,
+                      round(list_cosine_similarity(nv.v, pv.v), 6) AS cos
+                    FROM cand c JOIN e pv ON pv.vec_id = c.probe_id
+                                JOIN e nv ON nv.vec_id = c.nbr_id),
+         ranked AS (SELECT probe_id, nbr_id, cos,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cos DESC, nbr_id) AS rnk
+                    FROM scored)
          SELECT probe_id, nbr_id, rnk, cos FROM ranked WHERE rnk <= 5""",
     "q16_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -204,6 +204,88 @@ object SimSearch {
       (h.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** IVF-flat approximate top-k — the coarse-quantizer scale path next to
+    * hyperplane LSH ([[annTopK]]).
+    *
+    * `nlist` coarse cells. Centroids are a deterministic sample: the nlist
+    * vectors with the smallest md5-derived rank (md5, not the internal
+    * hash, so the DuckDB oracle regenerates the identical centroid set in
+    * SQL — q42; ties broken by id). Every vector is assigned to its nearest
+    * centroid by 6-dp-rounded cosine (ties → lowest centroid id; rounding
+    * first makes the argmax insensitive to sub-6dp float divergence between
+    * engines). A probe scans only its `nprobe` nearest cells: candidates
+    * come from a cell equi-join, exact cosine re-ranks them.
+    *
+    * Scale shape: with nlist = O(√n) the centroid array stays
+    * driver/broadcast-sized (nlist·dim doubles — at 10⁸ vectors and
+    * nlist=10⁴, ~5 MB), assignment is a narrow map (no shuffle — each
+    * vector lands in exactly ONE cell, so unlike the multi-table LSH join
+    * no candidate `distinct()` is needed), and each probe touches
+    * ~nprobe/nlist of the table. Cells adapt to data density (sampled
+    * centroids) — the classic IVF-flat tradeoff vs data-oblivious
+    * hyperplanes (Johnson, Douze, Jégou: "Billion-scale similarity search
+    * with GPUs", IEEE Big Data 2019). Hot-cell skew is bounded by sampled
+    * centroids tracking density; residual skew is an AQE skew-join case. */
+  def ivfTopK(emb: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("nbr_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val rankUdf = udf { (id: Long) =>
+      graft.index.Hashing.md5Hash64("ivf:" + id)
+    }
+    // bounded collect: exactly nlist rows (TakeOrdered on executors)
+    val cents: Array[(Long, Array[Double])] = e
+      .withColumn("hv", rankUdf(col("nbr_id")))
+      .orderBy(col("hv"), col("nbr_id"))
+      .limit(nlist)
+      .select("nbr_id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centIds = cents.map(_._1)
+    val centVecs = cents.map(_._2)
+    val centNorms = centVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    /** cell ids of the n nearest centroids of v, by (rounded cos desc, id). */
+    def nearestCells(v: Array[Double], n: Int): Array[Long] = {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      val vn = math.sqrt(nv)
+      val scored = new Array[(Double, Long)](centVecs.length)
+      var c = 0
+      while (c < centVecs.length) {
+        val cv = centVecs(c)
+        var dot = 0.0
+        var d = 0
+        while (d < cv.length) { dot += v(d) * cv(d); d += 1 }
+        val cos = math.rint(dot / (vn * centNorms(c)) * 1e6) / 1e6
+        scored(c) = (cos, centIds(c))
+        c += 1
+      }
+      scored.sortBy { case (cos, cid) => (-cos, cid) }.take(n).map(_._2)
+    }
+
+    val assignUdf = udf { (v: Array[Double]) => nearestCells(v, 1)(0) }
+    val probeCellsUdf = udf { (v: Array[Double]) => nearestCells(v, nprobe) }
+
+    val assigned = e.withColumn("cell", assignUdf(col("v")))
+    val p = probes.select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv"))
+      .withColumn("cell", explode(probeCellsUdf(col("pv"))))
+    val cand = assigned.join(p, Seq("cell"))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "nbr_id", "rnk", "cos")
+  }
+
   /** LSH-bucketed approximate top-k: sign-pattern of `planes` hyperplanes
     * forms the bucket key; exact cosine re-ranks candidates sharing the
     * probe's bucket in any of `tables` independent hash tables. */

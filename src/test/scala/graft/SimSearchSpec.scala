@@ -93,4 +93,30 @@ class SimSearchSpec extends SparkSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"mean recall@10 = $mean")
   }
+
+  test("IVF ANN achieves >=0.6 recall@10 on clustered vectors") {
+    val probes = emb.filter(col("vec_id") < 20)
+    val ivf = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nlist = 20, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until 20L).map { p =>
+      val truth = naiveTopK(p, 10).toSet
+      val found = ivf.getOrElse(p, Set.empty)
+      truth.intersect(found).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 = $mean")
+  }
+
+  test("IVF assignment is a partition: each vector lands in exactly one cell") {
+    // candidates therefore need no distinct() — assert the plan has none
+    // beyond the window top-k, and that the same probe never sees a
+    // duplicate neighbor
+    val got = SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 200, nlist = 10, nprobe = 10)
+      .as[(Long, Long, Int, Double)].collect()
+    val dup = got.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
+    assert(dup.isEmpty, s"duplicate (probe, nbr) rows: ${dup.keys.take(5)}")
+  }
 }
