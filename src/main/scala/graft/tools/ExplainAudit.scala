@@ -92,6 +92,13 @@ object ExplainAudit {
       "CartesianProduct" -> false,
       "BroadcastNestedLoopJoin" -> false))
 
+    // 7b. q42 IVF ANN: candidates must come from the cell equi-join (one
+    // vector = one cell), never a cartesian/nested-loop fallback
+    val p7b = plan(graft.SparkEntry.queries("q42_ivf_ann")(spark, sfDir))
+    check("q42 no cartesian / nested-loop", p7b, Seq(
+      "CartesianProduct" -> false,
+      "BroadcastNestedLoopJoin" -> false))
+
     // 8. exchange count in the build plan (build again lazily to explain)
     // the tokRows pipeline is private; approximate by checking the written
     // plan of a fresh build via the UI-less listener is overkill — instead

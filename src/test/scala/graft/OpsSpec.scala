@@ -94,6 +94,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("gzip line source decodes transparently via Hadoop codecs (SURVEY S2)") {
+    // the reference's URLZSource opens gz/plain/URL uniformly
+    // (mrtarget/common/IO.py:48-66); on Spark the Hadoop codec registry is
+    // the same open-anything seam — .gz inputs decompress inside the scan,
+    // no user code. Mixed plain+gz globs read in one pass.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part1.jsonl.gz"))
+    gz.write("{\"id\":1,\"t\":\"alpha\"}\n{\"id\":2,\"t\":\"beta\"}\n".getBytes("UTF-8"))
+    gz.close()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part2.jsonl"), "{\"id\":3,\"t\":\"gamma\"}\n")
+    val lines = spark.read.text(s"$dir/part*.jsonl*")
+    assert(lines.count() === 3)
+    val parsed = lines.select(
+        from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL("id INT, t STRING")).as("r"))
+      .select("r.id", "r.t").as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(parsed === Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
