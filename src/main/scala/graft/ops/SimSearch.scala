@@ -241,6 +241,7 @@ object SimSearch {
       .select("nbr_id", "v")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "ivfTopK: embedding table is empty — no centroids")
     val centIds = cents.map(_._1)
     val centVecs = cents.map(_._2)
     val centNorms = centVecs.map { v =>

@@ -54,7 +54,9 @@ object IndexStream {
 
   /** True iff `url` is already a document of the latest snapshot's TOP
     * generation — one pushed-down parquet read of that generation's url
-    * table for the url's segment; no IndexHandle, no posting bytes. */
+    * table for the url's segment; no IndexHandle, no posting bytes. The
+    * membership test runs executor-side (only a boolean crosses to the
+    * driver), so driver memory stays independent of docs/segment. */
   private[graft] def inTopGeneration(
       spark: SparkSession, indexDir: String, url: String): Boolean =
     Snapshot.latest(indexDir) match {
@@ -64,12 +66,14 @@ object IndexStream {
         val seg = (snap.generations - 1) * snap.numSegments +
           Hashing.segmentOf(url, snap.numSegments)
         snap.completedSegIds.contains(seg) && {
-          val rows = spark.read
+          spark.read
             .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
             .filter(col("segId") === seg &&
               col("term") === IndexBuilder.TermUrls)
-            .as[graft.index.PostingRow].collect()
-          rows.exists(r => Varint.decodeStrings(r.tfBytes).contains(url))
+            .as[graft.index.PostingRow]
+            .map(r => Varint.decodeStrings(r.tfBytes).contains(url))
+            .filter(identity[Boolean] _)
+            .head(1).nonEmpty
         }
     }
 
