@@ -283,6 +283,42 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
     }),
+    // real codecs (no stub): synthesize closed-form P6/WAV payloads per
+    // doc, parse them with graft.ops.Codecs, and emit decoded features the
+    // oracle recomputes arithmetically — decode must invert encode exactly
+    "q43_ppm_decode" -> ((s, d) => {
+      import s.implicits._
+      val ppmUdf = udf(Multimodal.synthPpm _)
+      val media = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          lit("image/x-portable-pixmap").as("kind"),
+          ppmUdf(col("doc_id")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeImages(s, media).toDF()
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("mean_lum"), 6).as("mean_lum"))
+    }),
+    "q44_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val wavUdf = udf(Multimodal.synthWav _)
+      val media = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          lit("audio/wav").as("kind"),
+          wavUdf(col("doc_id")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeAudio(s, media).toDF()
+        .select(col("id").as("doc_id"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("rms"), 6).as("rms"),
+          col("peak").cast("long").as("peak"))
+    }),
 
     // ---- reference scalar score transforms (SURVEY §2.7) ----
     "q27_score_transform" -> ((s, d) =>
@@ -689,6 +725,38 @@ object SparkEntry {
            strlen(text) % 640 AS width,
            (strlen(text) * 7) % 480 AS height
          FROM documents""",
+    // closed-form recomputation of the synthesized P6 pixels: the engine
+    // decodes real PPM bytes; the oracle never sees bytes, only the
+    // generating arithmetic. Channel sums are small exact integers, so the
+    // means agree bit-for-bit before rounding.
+    "q43_ppm_decode" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id % 5) AS w, 3 + (doc_id % 4) AS h
+                    FROM documents),
+         px AS (SELECT d.doc_id, d.w, d.h, r.range AS o,
+                  (d.doc_id * 31 + r.range) % 256 AS v
+                FROM d, range(0, 144) r WHERE r.range < d.w * d.h * 3),
+         ch AS (SELECT doc_id, w, h,
+                  avg(CASE WHEN o % 3 = 0 THEN v END) AS mr,
+                  avg(CASE WHEN o % 3 = 1 THEN v END) AS mg,
+                  avg(CASE WHEN o % 3 = 2 THEN v END) AS mb
+                FROM px GROUP BY 1, 2, 3)
+         SELECT doc_id, w AS width, h AS height,
+           round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+           round(mb, 6) AS mean_b,
+           round(0.299 * mr + 0.587 * mg + 0.114 * mb, 6) AS mean_lum
+         FROM ch""",
+    // same pattern for the synthesized mono PCM WAV payloads
+    "q44_wav_decode" ->
+      """WITH d AS (SELECT doc_id, 50 + (doc_id % 100) AS n FROM documents),
+         s AS (SELECT d.doc_id, d.n,
+                 ((d.doc_id * 7919 + r.range * 104729) % 65536) - 32768 AS v
+               FROM d, range(0, 150) r WHERE r.range < d.n),
+         agg AS (SELECT doc_id, n, sqrt(sum(v * v)::DOUBLE / n) AS rms,
+                   max(abs(v)) AS peak
+                 FROM s GROUP BY 1, 2)
+         SELECT doc_id, 1::BIGINT AS channels, 8000::BIGINT AS sample_rate,
+           n AS n_samples, round(rms, 6) AS rms, peak AS peak
+         FROM agg""",
     "q27_score_transform" ->
       """SELECT event_id,
            round(LEAST(1.0, GREATEST(0.0,

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * runs as a partition-wise operator (the Scala analogue of a Pandas
   * `mapInPandas` batch UDF).
   *
-  * The actual codec is a STUB — no image/audio libraries ship in this
-  * container — replaced by a deterministic fake that derives pseudo
-  * dimensions from the byte stream. The Spark-side contract (schema,
-  * binary transport, partition-batched execution, feature output shape)
-  * is real and tested; swapping `decodeStub` for a JNI/lib decoder is the
-  * only change needed at scale. */
+  * Decode is REAL for formats a bare JVM can parse — binary P6 PPM images
+  * and RIFF/PCM-16 WAV audio via [[Codecs]] (decodeImages / decodeAudio /
+  * resizeImages / sampleImageFrames below, oracled by q43/q44). For
+  * formats that need a native codec (JPEG/MP3/H.264 — no such libraries
+  * ship in this container) the original deterministic STUB stands in:
+  * it derives pseudo dimensions from the byte stream, keeping the
+  * Spark-side contract (schema, binary transport, partition-batched
+  * execution, feature output shape) real and tested; swapping `decodeStub`
+  * for a JNI/lib decoder is the only change needed at scale. */
 object Multimodal {
 
   case class MediaRow(id: Long, kind: String, media: Array[Byte])
@@ -88,4 +91,119 @@ object Multimodal {
       kind: String = "text/plain"): DataFrame =
     docs.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("media"))
+
+  // ---- REAL decode paths (graft.ops.Codecs: pure-JVM P6 PPM / PCM WAV).
+  // The stub above remains the documented stand-in for formats that need a
+  // native codec; these run the genuine parse → feature pipeline.
+
+  case class ImageFeatures(id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, mean_lum: Double)
+  case class AudioFeatures(id: Long, channels: Int, sample_rate: Int,
+      n_samples: Int, rms: Double, peak: Int)
+
+  /** Decode P6 payloads and extract channel statistics. Channel sums are
+    * 64-bit integer (exact), so mean_* are `exact_sum / n` — bit-identical
+    * to any engine computing the same division (the q43 oracle). */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = Codecs.decodePpm(r.media)
+      val n = img.width * img.height
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      while (p < n) {
+        sr += img.pixels(3 * p) & 0xff
+        sg += img.pixels(3 * p + 1) & 0xff
+        sb += img.pixels(3 * p + 2) & 0xff
+        p += 1
+      }
+      val mr = sr.toDouble / n
+      val mg = sg.toDouble / n
+      val mb = sb.toDouble / n
+      ImageFeatures(r.id, img.width, img.height, mr, mg, mb,
+        0.299 * mr + 0.587 * mg + 0.114 * mb)
+    })
+  }
+
+  /** Decode PCM WAV payloads: frame count, RMS amplitude, peak. The
+    * squared-sample sum is 64-bit integer (exact) like decodeImages. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val a = Codecs.decodeWav(r.media)
+      var ss = 0L
+      var peak = 0
+      var i = 0
+      while (i < a.samples.length) {
+        val s = a.samples(i).toInt
+        ss += s.toLong * s
+        val m = math.abs(s)
+        if (m > peak) peak = m
+        i += 1
+      }
+      val n = a.samples.length
+      AudioFeatures(r.id, a.channels, a.sampleRate, n / a.channels,
+        if (n == 0) 0.0 else math.sqrt(ss.toDouble / n), peak)
+    })
+  }
+
+  /** Real nearest-neighbor resize of P6 payloads to `targetW` (height
+    * scales to keep aspect): decode → resample → re-encode, one partition
+    * batch at a time. */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+      targetW: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = Codecs.decodePpm(r.media)
+      val h2 = math.max(1, (img.height.toLong * targetW / img.width).toInt)
+      MediaRow(r.id, r.kind,
+        Codecs.encodePpm(Codecs.resizeNearest(img, targetW, h2)))
+    })
+  }
+
+  /** Real frame sampling over concatenated-P6 streams: every `stride`-th
+    * frame becomes its own single-image row (1 row → n rows). */
+  def sampleImageFrames(spark: SparkSession, media: Dataset[MediaRow],
+      stride: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride $stride")
+    media.mapPartitions(_.flatMap { r =>
+      Codecs.splitPpmFrames(r.media).zipWithIndex.collect {
+        case (img, f) if f % stride == 0 =>
+          MediaRow(r.id * 1000000L + f, s"${r.kind};frame=$f",
+            Codecs.encodePpm(img))
+      }
+    })
+  }
+
+  // ---- deterministic media synthesis (tests + the q43/q44 oracles):
+  // payloads are pure closed-form functions of the id, so an external
+  // engine can recompute the decoded features without any codec.
+
+  /** P6 image: w=4+(id%5), h=3+(id%4), pixel byte o = (id*31+o) mod 256. */
+  def synthPpm(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    val px = new Array[Byte](w * h * 3)
+    var o = 0
+    while (o < px.length) {
+      px(o) = java.lang.Long.remainderUnsigned(id * 31 + o, 256).toByte
+      o += 1
+    }
+    Codecs.encodePpm(Codecs.Image(w, h, px))
+  }
+
+  /** Mono 8 kHz PCM WAV: n=50+(id%100) samples,
+    * sample i = ((id*7919 + i*104729) mod 65536) - 32768. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = 50 + (id % 100).toInt
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = (java.lang.Long.remainderUnsigned(
+        id * 7919 + i.toLong * 104729, 65536) - 32768).toShort
+      i += 1
+    }
+    Codecs.encodeWav(Codecs.Audio(1, 8000, s))
+  }
 }
