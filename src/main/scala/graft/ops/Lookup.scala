@@ -31,17 +31,17 @@ object Lookup {
       count(lit(1)).as("n_hits"),
       min(struct(dim.columns.map(col): _*)).as("_dimrow")) // min = deterministic pick
     if (strict) {
-      // the fail-fast probe is an eager action; cache the aggregation so
-      // the caller's join does not recompute the same pass over the dim
-      // table (dims are lookup-table-sized, so the persist is cheap)
-      counted.persist()
+      // fail-fast probe (eager action). Deliberately NOT persisted: a
+      // persist here would outlive this call — the returned join is lazy,
+      // so there is no safe point to unpersist, and each strict lookup
+      // would pin one cached aggregation until the session dies. The cost
+      // is one recompute of the dim aggregation at join time; dims are
+      // lookup-table-sized, so that second pass is cheap.
       val dup = counted.filter(col("n_hits") > 1).select(col(dimKey)).limit(1)
         .collect()
-      if (dup.nonEmpty) {
-        counted.unpersist()
+      if (dup.nonEmpty)
         throw new IllegalStateException(
           s"ambiguous lookup: key '${dup(0).get(0)}' has multiple $dimKey hits")
-      }
     }
     facts.join(counted, factKey === counted(dimKey), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
