@@ -101,28 +101,53 @@ object Multimodal {
   case class AudioFeatures(id: Long, channels: Int, sample_rate: Int,
       n_samples: Int, rms: Double, peak: Int)
 
+  private def decodeImageRow(r: MediaRow): ImageFeatures = {
+    val img = Codecs.decodePpm(r.media)
+    val n = img.width * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < n) {
+      sr += img.pixels(3 * p) & 0xff
+      sg += img.pixels(3 * p + 1) & 0xff
+      sb += img.pixels(3 * p + 2) & 0xff
+      p += 1
+    }
+    val mr = sr.toDouble / n
+    val mg = sg.toDouble / n
+    val mb = sb.toDouble / n
+    ImageFeatures(r.id, img.width, img.height, mr, mg, mb,
+      0.299 * mr + 0.587 * mg + 0.114 * mb)
+  }
+
   /** Decode P6 payloads and extract channel statistics. Channel sums are
     * 64-bit integer (exact), so mean_* are `exact_sum / n` — bit-identical
     * to any engine computing the same division (the q43 oracle). */
   def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import spark.implicits._
-    media.mapPartitions(_.map { r =>
-      val img = Codecs.decodePpm(r.media)
-      val n = img.width * img.height
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var p = 0
-      while (p < n) {
-        sr += img.pixels(3 * p) & 0xff
-        sg += img.pixels(3 * p + 1) & 0xff
-        sb += img.pixels(3 * p + 2) & 0xff
-        p += 1
-      }
-      val mr = sr.toDouble / n
-      val mg = sg.toDouble / n
-      val mb = sb.toDouble / n
-      ImageFeatures(r.id, img.width, img.height, mr, mg, mb,
-        0.299 * mr + 0.587 * mg + 0.114 * mb)
-    })
+    media.mapPartitions(_.map(decodeImageRow))
+  }
+
+  /** Dual-route image decode — the reference's valid/invalid reject channel
+    * (mrtarget/modules/Evidences.py:290-308) applied to binary payloads:
+    * parseable rows emit features; rows whose payload throws are routed
+    * with the parse error as `explanation` (id, kind, explanation). Both
+    * outputs are views over one tagged plan — cache `media` upstream when
+    * consuming both, as with ops.Routing. */
+  def routeImages(spark: SparkSession, media: Dataset[MediaRow])
+      : (Dataset[ImageFeatures], DataFrame) = {
+    import spark.implicits._
+    val tagged: Dataset[(Long, String, Option[ImageFeatures], Option[String])] =
+      media.mapPartitions(_.map { r =>
+        try (r.id, r.kind, Some(decodeImageRow(r)), None)
+        catch {
+          case e: IllegalArgumentException => (r.id, r.kind, None, Some(e.getMessage))
+        }
+      })
+    val valid = tagged.flatMap(_._3)
+    val invalid = tagged.filter(_._4.isDefined)
+      .map(t => (t._1, t._2, t._4.get))
+      .toDF("id", "kind", "explanation")
+    (valid, invalid)
   }
 
   /** Decode PCM WAV payloads: frame count, RMS amplitude, peak. The

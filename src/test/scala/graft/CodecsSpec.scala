@@ -107,6 +107,20 @@ class CodecsSpec extends SparkSuite {
     assert(af.rms === math.sqrt(25.0 / 2))
   }
 
+  test("dual-route image decode: parse failures carry explanations") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/x-portable-pixmap", Multimodal.synthPpm(1L)),
+      Multimodal.MediaRow(2L, "image/x-portable-pixmap", "P6\n9 9\n255\nxx".getBytes),
+      Multimodal.MediaRow(3L, "image/x-portable-pixmap", Array[Byte](1, 2, 3))
+    ).toDS().cache()
+    val (valid, invalid) = Multimodal.routeImages(spark, media)
+    assert(valid.collect().map(_.id).toSeq === Seq(1L))
+    val inv = invalid.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(inv.keySet === Set(2L, 3L))
+    assert(inv(2L).contains("truncated"))
+    assert(inv(3L).contains("not a P6"))
+  }
+
   test("synthesized media decode matches the closed form (q43/q44 contract)") {
     for (id <- Seq(0L, 1L, 17L, 123L)) {
       val im = Codecs.decodePpm(Multimodal.synthPpm(id))
