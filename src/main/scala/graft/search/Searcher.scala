@@ -37,6 +37,26 @@ object Searcher {
     topK(spark, indexDir, query, k).toSeq
       .toDF("rank", "docId", "url", "score")
   }
+
+  /** ES `_source includes` analogue (the reference projects every scan:
+    * mrtarget/modules/Association.py:308, common/LookupTables.py:103):
+    * decorate hits with `includes` columns of the corpus table. The hit
+    * side is top-k-sized, so it broadcasts; the corpus scan reads exactly
+    * (url ++ includes) — Catalyst prunes the parquet ReadSchema to the
+    * requested fields, the whole point of `_source` filtering. Output keeps
+    * hit order (rank asc). */
+  def fetchSource(spark: SparkSession, hits: Array[Hit], corpus: DataFrame,
+      includes: Seq[String], urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val hitDf = hits.toSeq.toDF("rank", "docId", "url", "score")
+    val src = corpus.select((urlCol +: includes).distinct.map(col): _*)
+      .withColumnRenamed(urlCol, "url")
+    broadcast(hitDf).join(src, Seq("url"), "left")
+      .orderBy(col("rank"))
+      .select(Seq("rank", "docId", "url", "score").map(col) ++
+        includes.filter(_ != urlCol).map(col): _*)
+  }
 }
 
 /** Compiled form of a [[BoolQuery]] against one snapshot: clause term

@@ -57,6 +57,23 @@ class IndexSearchSpec extends SparkSuite {
     } finally handle.close()
   }
 
+  test("fetchSource (_source includes): hit decoration with a pruned corpus scan") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    pages.toDF().write.mode("overwrite").parquet(s"$dir/pages")
+    val corpus = spark.read.parquet(s"$dir/pages")
+    val hits = Searcher.topK(spark, indexDir, "merge sort join", 5)
+    val fetched = Searcher.fetchSource(spark, hits, corpus, Seq("text", "lang"))
+    val plan = fetched.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("ReadSchema: struct<url:string,text:string,lang:string>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    val byUrl = docs.toMap
+    val rows = fetched.collect()
+    assert(rows.map(_.getAs[String]("url")).toSeq === hits.map(_.url).toSeq)
+    rows.foreach(r =>
+      assert(r.getAs[String]("text") === byUrl(r.getAs[String]("url"))))
+  }
+
   test("served (driver-hot) path is rank-identical, including cache hits") {
     val handle = new graft.search.IndexHandle(spark, indexDir, warm = true)
     try (queries.take(8) ++ queries.take(8)).foreach { q => // second pass = hot
