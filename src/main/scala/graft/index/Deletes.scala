@@ -50,7 +50,14 @@ object Deletes {
     * identical. */
   def deleteByQuery(spark: SparkSession, indexDir: String, q: BoolQuery): SnapshotMeta = {
     val h = new IndexHandle(spark, indexDir, warm = false)
-    val k = math.min(h.snap.numDocs, (Int.MaxValue - 8).toLong).toInt
+    // fail LOUDLY instead of silently capping: beyond top-k-enumerable
+    // sizes the match set must be produced by a per-segment enumeration
+    // sink (same tombstone write path), not a driver collect
+    require(h.snap.numDocs <= (Int.MaxValue - 8).toLong,
+      s"deleteByQuery enumerates matches via a top-k collect; " +
+        s"${h.snap.numDocs} docs exceeds that path - use a per-segment " +
+        "match-enumeration sink")
+    val k = h.snap.numDocs.toInt
     val bySeg = h.search(q, k)
       .groupBy(hit => (hit.docId >> IndexBuilder.SegShift).toInt)
       .map { case (seg, hits) => seg -> hits.map(_.docId) }

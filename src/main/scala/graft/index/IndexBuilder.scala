@@ -88,15 +88,34 @@ case class TokRow(
 
 object IndexBuilder {
   val SegShift = 40
-  /** Marker terms the analyzer can never emit: real tokens match [a-z0-9']+
-    * so they sort strictly above both markers. */
+  /** Marker terms, kept strictly BELOW every real token by [[safeTerm]]. */
   val TermLens = ""
   val TermUrls = "\u0001"
   /** Tombstone marker (soft-deleted docIds, Lucene live-docs analogue;
-    * written by [[Deletes]], never by a build). Real tokens match
-    * [a-z0-9']+ so they sort strictly above all three markers; "real term"
-    * predicates must therefore compare against TermDels, not TermUrls. */
+    * written by [[Deletes]], never by a build). "Real term" predicates
+    * must compare against TermDels, not TermUrls. */
   val TermDels = "\u0002"
+
+  /** The marker invariant -- every stored term sorts strictly above
+    * TermDels -- is NOT guaranteed by the analyzer alone: word_delimiter's
+    * preserve_original keeps the raw lowercased whitespace token, so crawl
+    * text containing control bytes can emit tokens (e.g. "\u0001abc")
+    * that sort below or between the markers, corrupting purge's
+    * sorted-stream walk and the termdict's `> TermDels` filter. Fix at the
+    * index boundary: any term whose first character is <= '\u0003' is
+    * stored behind a '\u0003' escape prefix (terms already starting with
+    * '\u0003' get doubled, keeping the map injective). Identity for every
+    * token a realistic corpus produces; applied identically at build
+    * ([[safeTermCol]]) and query-compile time, so matching semantics are
+    * unchanged while the marker ordering becomes unconditional. */
+  def safeTerm(t: String): String =
+    if (t.isEmpty || t.charAt(0) <= '\u0003') "\u0003" + t else t
+
+  /** [[safeTerm]] over a tf-map column (`term < "\u0004"` is exactly
+    * "first char <= \u0003 or empty" under binary UTF-8 comparison). */
+  def safeTermCol(tfmap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform_keys(tfmap, (k, _) =>
+      when(k < lit("\u0004"), concat(lit("\u0003"), k)).otherwise(k))
 
   def segBase(segId: Int): Long = segId.toLong << SegShift
 
@@ -260,7 +279,8 @@ object IndexBuilder {
         row_number().over(Window.partitionBy(col("part")).orderBy(col("url"))))
       .withColumn("docId",
         shiftleft(col("segId").cast("long"), SegShift) + col("rank"))
-      .withColumn("tfmap", graft.plans.GraftFunctions.term_freqs(col("text")))
+      .withColumn("tfmap",
+        safeTermCol(graft.plans.GraftFunctions.term_freqs(col("text"))))
       .withColumn("doclen",
         aggregate(map_values(col("tfmap")), lit(0), (acc, x) => acc + x))
       .select(col("segId"), col("docId"), col("doclen"), col("url"),

@@ -66,19 +66,48 @@ object Snapshot {
 
   private def snapsDir(indexDir: String): Path = Paths.get(indexDir, "snapshots")
 
-  def commit(indexDir: String, snap: SnapshotMeta): Unit = {
+  private val commitMonitor = new Object
+
+  /** Optimistic-concurrency commit: the snapshot's `parent` must still be
+    * the live LATEST at commit time — compare-and-swap semantics, the role
+    * a catalog plays for Iceberg. Two committers racing from the same
+    * parent → the second fails loudly ("rebase and retry") instead of
+    * silently replacing the first's snapshot (lost tombstones / vanished
+    * generations). A CRASHED commit's orphan snap file (written before
+    * LATEST moved) is still safely overwritten: the restarting committer
+    * resumes from the same parent, so the CAS passes and REPLACE_EXISTING
+    * reclaims the orphan. The check+rename pair is serialized by a JVM
+    * monitor plus an exclusive file lock (multi-threaded drivers and
+    * co-located processes); multi-DRIVER deployments need a real
+    * catalog/lock service in front of commit, exactly as Iceberg does. */
+  def commit(indexDir: String, snap: SnapshotMeta): Unit = commitMonitor.synchronized {
     val dir = snapsDir(indexDir)
     Files.createDirectories(dir)
-    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap)
-    val file = dir.resolve(f"snap-${snap.id}%05d.json")
-    val tmp = dir.resolve(f".snap-${snap.id}%05d.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val latestTmp = dir.resolve(".LATEST.tmp")
-    Files.writeString(latestTmp, snap.id.toString)
-    Files.move(latestTmp, dir.resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lockCh = java.nio.channels.FileChannel.open(dir.resolve("COMMIT_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      val ptr = dir.resolve("LATEST")
+      val cur = if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else -1
+      if (cur != snap.parent)
+        throw new IllegalStateException(
+          s"concurrent commit: snapshot ${snap.id} has parent ${snap.parent} " +
+            s"but LATEST is $cur - rebase on the live snapshot and retry")
+      val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap)
+      val file = dir.resolve(f"snap-${snap.id}%05d.json")
+      val tmp = dir.resolve(f".snap-${snap.id}%05d.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      val latestTmp = dir.resolve(".LATEST.tmp")
+      Files.writeString(latestTmp, snap.id.toString)
+      Files.move(latestTmp, ptr, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      lock.release()
+      lockCh.close()
+    }
   }
 
   /** QC metric diff between two snapshots (the reference's release-over-

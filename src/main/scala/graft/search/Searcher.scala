@@ -47,15 +47,28 @@ object Searcher {
     * hit order (rank asc). */
   def fetchSource(spark: SparkSession, hits: Array[Hit], corpus: DataFrame,
       includes: Seq[String], urlCol: String = "url"): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, min, struct}
     import spark.implicits._
+    require(urlCol == "url" || !includes.contains("url"),
+      "includes may not contain a column named 'url' unless urlCol is 'url'")
+    val incs = includes.distinct.filter(_ != urlCol)
     val hitDf = hits.toSeq.toDF("rank", "docId", "url", "score")
-    val src = corpus.select((urlCol +: includes).distinct.map(col): _*)
-      .withColumnRenamed(urlCol, "url")
+    // exactly one deterministic source row per url: a recrawl-shaped corpus
+    // may hold several editions of a hit url, and ES returns one _source
+    // per hit, never a fan-out (min(struct) = deterministic pick, the same
+    // idiom as ops.Lookup)
+    val src =
+      if (incs.isEmpty)
+        corpus.select(col(urlCol).as("url")).distinct()
+      else corpus.select((urlCol +: incs).map(col): _*)
+        .withColumnRenamed(urlCol, "url")
+        .groupBy(col("url"))
+        .agg(min(struct(incs.map(col): _*)).as("_src"))
+        .select(col("url") +: incs.map(c => col(s"_src.$c").as(c)): _*)
     broadcast(hitDf).join(src, Seq("url"), "left")
       .orderBy(col("rank"))
       .select(Seq("rank", "docId", "url", "score").map(col) ++
-        includes.filter(_ != urlCol).map(col): _*)
+        incs.map(col): _*)
   }
 }
 
@@ -161,12 +174,16 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
 
   private val termdict: DataFrame =
     spark.read.parquet(s"$indexDir/${snap.termdictDir.get}")
-  // driver-side dictionary for warm handles on sane vocabularies
+  // driver-side dictionary for warm handles on sane vocabularies. The
+  // admission gate must bound the quantity actually collected (DISTINCT
+  // terms) BEFORE the collect — gating on the per-segment term-count sum
+  // admits up to dictLimit x P rows when the vocabulary is mostly
+  // segment-local (Zipf tail), a driver OOM. count() on the term-sorted
+  // parquet is metadata-cheap.
   private val driverDict: Option[Map[String, Long]] =
-    if (warm && snap.segments.map(_.terms).sum <= dictLimit * snap.numSegments) {
-      val m = termdict.select("term", "df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (m.size <= dictLimit) Some(m) else None
+    if (warm && termdict.count() <= dictLimit) {
+      Some(termdict.select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
     } else None
 
   private val postings: Dataset[PostingRow] = {
@@ -352,8 +369,16 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
 
   /** Compile against this snapshot; None = provably-empty result. */
   private def compile(q0: BoolQuery): Option[CompiledQuery] = {
-    val q = q0.normalized
-    if (q.contradictory) return None
+    val qn = q0.normalized
+    if (qn.contradictory) return None
+    // the index stores marker-colliding tokens behind the safeTerm escape
+    // (IndexBuilder.safeTerm) — map clause terms identically so matching
+    // semantics are the injective image of the unmapped ones
+    val q = qn.copy(
+      must = qn.must.map(IndexBuilder.safeTerm),
+      should = qn.should.map(IndexBuilder.safeTerm),
+      filter = qn.filter.map(IndexBuilder.safeTerm),
+      mustNot = qn.mustNot.map(IndexBuilder.safeTerm))
     val df = dictDf((q.must ++ q.should ++ q.filter ++ q.mustNot).distinct)
     if (q.must.exists(!df.contains(_)) || q.filter.exists(!df.contains(_)))
       return None // conjunction over an absent term
