@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,11 +32,19 @@ object Ingest {
   /** One row per url: max warc_ts, ties broken by the md5 of ALL payload
     * columns so the winner is a pure function of the row set — two rows
     * equal on (warc_ts, html) but differing in text/lang (a capture that
-    * lost a column) must not flap with partition order across replays. */
+    * lost a column) must not flap with partition order across replays.
+    * Each column is presence-tagged before concatenation: concat_ws SKIPS
+    * null arguments, so without the tag a row with (text=x, lang=null)
+    * would hash identically to (text=null, lang=x) -- reintroducing the
+    * partition-order flap for exactly the lost-column captures this
+    * tie-break exists for. */
   def latestPerUrl(raw: DataFrame): DataFrame = {
+    def tagged(c: Column): Column =
+      when(c.isNull, lit("0")).otherwise(concat(lit("1"), c))
     val w = Window.partitionBy(col("url"))
       .orderBy(col("warc_ts").desc,
-        md5(concat_ws("\u0000", md5(col("html")), col("text"), col("lang"))).asc)
+        md5(concat_ws("\u0000", tagged(md5(col("html"))),
+          tagged(col("text")), tagged(col("lang")))).asc)
     raw.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }

@@ -61,6 +61,7 @@ object Codecs {
       var any = false
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
         v = v * 10 + (b(i) - '0'); i += 1; any = true
+        if (v > 1000000000) fail("header integer out of range")
       }
       if (!any) fail("expected integer")
       v
@@ -72,13 +73,36 @@ object Codecs {
     val h = int()
     val maxv = int()
     if (maxv != 255) fail(s"unsupported maxval $maxv (only 8-bit)")
-    i += 1 // exactly one whitespace byte separates the header from pixels
-    val n = w * h * 3
+    if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
+    // exactly ONE whitespace byte separates header from pixels — anything
+    // else (e.g. CRLF) would silently shift the pixel data by a byte
+    if (i >= b.length || !(b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t'))
+      fail("expected single whitespace after maxval")
+    i += 1
+    // hostile-header guard: w*h*3 must not wrap Int (a 22-byte payload
+    // declaring 2 x 715827883 would otherwise pass every length check and
+    // blow up later with an un-routable ArrayIndexOutOfBoundsException)
+    val n64 = w.toLong * h * 3
+    if (n64 > Int.MaxValue - 16) fail(s"pixel payload too large ($n64 bytes)")
+    val n = n64.toInt
     if (b.length - i < n) fail(s"truncated: need $n pixel bytes")
     (Image(w, h, java.util.Arrays.copyOfRange(b, i, i + n)), i + n)
   }
 
-  def decodePpm(bytes: Array[Byte]): Image = decodePpmAt(bytes, 0)._1
+  /** Single-image decode demands EXACT consumption: binary PPM cannot
+    * distinguish a stray whitespace byte after maxval (CRLF-written
+    * headers) from pixel data, but the off-by-one always leaves trailing
+    * bytes on a single image — so reject them instead of silently
+    * decoding shifted pixels. Concatenated streams go through
+    * [[splitPpmFrames]]. */
+  def decodePpm(bytes: Array[Byte]): Image = {
+    val (img, end) = decodePpmAt(bytes, 0)
+    if (end != bytes.length)
+      throw new IllegalArgumentException(
+        s"ppm @$end: ${bytes.length - end} trailing bytes after pixel data " +
+          "(CRLF-after-maxval corruption, or a frame stream? use splitPpmFrames)")
+    img
+  }
 
   /** Split a concatenated-P6 stream ("video": frames back to back, the
     * netpbm animation convention) into its frames. */
@@ -97,6 +121,8 @@ object Codecs {
     * (x*w/w2, y*h/h2) — integer floor, deterministic. */
   def resizeNearest(img: Image, w2: Int, h2: Int): Image = {
     require(w2 > 0 && h2 > 0, s"resize to ${w2}x$h2")
+    require(w2.toLong * h2 * 3 <= Int.MaxValue - 16,
+      s"resize target ${w2}x$h2 overflows the pixel buffer")
     val out = new Array[Byte](w2 * h2 * 3)
     var y = 0
     while (y < h2) {
@@ -163,7 +189,11 @@ object Codecs {
           val audioFormat = buf.getShort
           if (audioFormat != 1) fail(s"unsupported format $audioFormat (PCM only)")
           channels = buf.getShort.toInt
+          // the short reads signed: 0xFFFF comes back -1, and 0 would make
+          // every frames-per-channel division downstream explode
+          if (channels < 1 || channels > 1024) fail(s"bad channel count $channels")
           sampleRate = buf.getInt
+          if (sampleRate <= 0) fail(s"bad sample rate $sampleRate")
           buf.getInt // byte rate
           buf.getShort // block align
           val bits = buf.getShort

@@ -140,7 +140,12 @@ object Multimodal {
       media.mapPartitions(_.map { r =>
         try (r.id, r.kind, Some(decodeImageRow(r)), None)
         catch {
-          case e: IllegalArgumentException => (r.id, r.kind, None, Some(e.getMessage))
+          // NonFatal, not just IllegalArgumentException: the dual route
+          // exists to isolate bad rows, so ANY per-row decode failure must
+          // land in the invalid channel rather than fail the whole job
+          case scala.util.control.NonFatal(e) =>
+            (r.id, r.kind, None,
+              Some(Option(e.getMessage).getOrElse(e.toString)))
         }
       })
     val valid = tagged.flatMap(_._3)

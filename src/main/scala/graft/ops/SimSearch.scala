@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   * join (mrtarget/modules/DataDrivenRelation.py:212-216). */
 object SimSearch {
 
+  /** Shared ranking tail of every top-k path: window per probe, 6-dp
+    * rounded cosine desc with nbr_id tie-break, rank <= k. ONE home for
+    * the tie-break/rounding contract so the exact and approximate paths
+    * the oracles compare can never desynchronize. `cand` needs columns
+    * (probe_id, nbr_id, cos). */
+  private def topKByCos(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "nbr_id", "rnk", "cos")
+  }
+
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(df.schema(idCol).dataType),
+      s"$op needs an integral id column; '$idCol' is " +
+        df.schema(idCol).dataType.simpleString)
+  }
+
   /** Σ a_i*b_i in double precision, left-to-right (codegen, deterministic). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -52,14 +73,9 @@ object SimSearch {
       col(vecCol).cast("array<double>").as("v"))
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
-    val scored = e.crossJoin(broadcast(p))
+    topKByCos(e.crossJoin(broadcast(p))
       .filter(col("nbr_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("probe_id", "nbr_id", "rnk", "cos")
+      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6)), k)
   }
 
   /** One replicated input row of the blocked all-pairs join. */
@@ -96,12 +112,7 @@ object SimSearch {
     // cast of a string/double id column would null-out or collide ids, so
     // reject non-integral id types loudly (hash string ids to longs — or
     // use the LSH text/minhash paths — before calling this)
-    require({
-      import org.apache.spark.sql.types._
-      Set[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(emb.schema(idCol).dataType)
-    }, s"nearDupPairs needs an integral id column; '$idCol' is " +
-      emb.schema(idCol).dataType.simpleString)
+    requireIntegralId(emb, idCol, "nearDupPairs")
     val K = numBlocks
     val headDims = 8
     // margin: the 6-dp rounding applied to the emitted cosine can raise it
@@ -228,6 +239,9 @@ object SimSearch {
     * centroids tracking density; residual skew is an AQE skew-join case. */
   def ivfTopK(emb: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    // the silent long cast would null out string ids (NPE at the centroid
+    // collect) or collide truncated doubles — reject loudly instead
+    requireIntegralId(emb, idCol, "ivfTopK")
     val e = emb.select(col(idCol).cast("long").as("nbr_id"),
       col(vecCol).cast("array<double>").as("v"))
     val rankUdf = udf { (id: Long) =>
@@ -277,14 +291,9 @@ object SimSearch {
     val p = probes.select(col(idCol).cast("long").as("probe_id"),
         col(vecCol).cast("array<double>").as("pv"))
       .withColumn("cell", explode(probeCellsUdf(col("pv"))))
-    val cand = assigned.join(p, Seq("cell"))
+    topKByCos(assigned.join(p, Seq("cell"))
       .filter(col("nbr_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("probe_id", "nbr_id", "rnk", "cos")
+      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6)), k)
   }
 
   /** LSH-bucketed approximate top-k: sign-pattern of `planes` hyperplanes
@@ -320,15 +329,10 @@ object SimSearch {
       col(vecCol).cast("array<double>").as("v")), "probe_id")
       .withColumnRenamed("v", "pv")
 
-    val cand = e.join(p, Seq("tbl", "bucket"))
+    topKByCos(e.join(p, Seq("tbl", "bucket"))
       .filter(col("nbr_id") =!= col("probe_id"))
       .select("probe_id", "pv", "nbr_id", "v")
       .distinct()
-      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("probe_id", "nbr_id", "rnk", "cos")
+      .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6)), k)
   }
 }

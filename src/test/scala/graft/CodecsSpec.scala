@@ -36,6 +36,16 @@ class CodecsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Codecs.decodePpm("P5\n1 1\n255\nxxx".getBytes))
     intercept[IllegalArgumentException](Codecs.decodePpm("P6\n2 2\n255\nab".getBytes))
     intercept[IllegalArgumentException](Codecs.decodePpm("P6\n1 1\n65535\n".getBytes ++ Array[Byte](1, 2, 3)))
+    // hostile/degenerate headers must fail as IllegalArgumentException,
+    // never wrap into a later ArrayIndexOutOfBounds/ArithmeticException
+    intercept[IllegalArgumentException]( // w*h*3 wraps Int
+      Codecs.decodePpm("P6\n2 715827883\n255\n".getBytes ++ Array[Byte](1, 2)))
+    intercept[IllegalArgumentException]( // zero-area image
+      Codecs.decodePpm("P6\n0 5\n255\n".getBytes))
+    intercept[IllegalArgumentException]( // CRLF after maxval shifts pixels
+      Codecs.decodePpm("P6\n1 1\n255\r\n".getBytes ++ Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException]( // 10-digit dimension
+      Codecs.decodePpm("P6\n1 12345678901\n255\n".getBytes))
   }
 
   test("nearest-neighbor resize goldens") {
@@ -88,6 +98,12 @@ class CodecsSpec extends SparkSuite {
     assert(spliced.samples.toSeq === a.samples.toSeq)
 
     intercept[IllegalArgumentException](Codecs.decodeWav("RIFFxxxxNOPE".getBytes))
+
+    // fmt declaring 0 channels must fail in decodeWav, not divide-by-zero
+    // later in decodeAudio
+    val zeroCh = Codecs.encodeWav(Audio(1, 8000, Array[Short](1)))
+    zeroCh(22) = 0 // channels little-endian low byte inside fmt
+    intercept[IllegalArgumentException](Codecs.decodeWav(zeroCh))
   }
 
   test("image/audio feature extraction matches hand computation") {

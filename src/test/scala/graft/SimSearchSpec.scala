@@ -109,6 +109,15 @@ class SimSearchSpec extends SparkSuite {
     assert(mean >= 0.6, s"mean recall@10 = $mean")
   }
 
+  test("IVF rejects non-integral id columns loudly (no silent null cast)") {
+    val strIds = vectors.map { case (id, v) => (s"url://$id", v) }
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.ivfTopK(strIds, strIds, "vec_id", "embedding", 5)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("IVF assignment is a partition: each vector lands in exactly one cell") {
     // candidates therefore need no distinct() — assert the plan has none
     // beyond the window top-k, and that the same probe never sees a
