@@ -13,8 +13,9 @@ import graft.search.IndexHandle
   *  - index-build throughput (docs/sec) over an identical stored corpus at
   *    local[4] / local[16] / local[32], with scaling efficiency
   *    (tp_4N / tp_N) / 4 for the 4->16 pair — the sandbox evidence for the
-  *    north rule's N->4N >= 0.8 criterion (the 8->32 pair is also reported;
-  *    at 32 threads this VM saturates memory bandwidth, see BASELINE.md)
+  *    north rule's N->4N >= 0.8 criterion (the 4->32 comparison at ideal
+  *    8x is also reported as scaling_4_to_32; at 32 threads this VM
+  *    saturates memory bandwidth, see BASELINE.md)
   *  - warm p50/p95 BM25 top-10 latency over the fixed 20-query set
   *
   * Methodology: corpus staged to parquet once (generation excluded — the
@@ -38,7 +39,9 @@ object Bench {
       .getOrCreate()
   }
 
-  private val benchQueries = Seq(
+  /** The fixed 20-query latency set — ONE home, shared with ServeBench so
+    * the two benchmarks' p50/p95/QPS numbers stay comparable. */
+  private[graft] val benchQueries = Seq(
     "the data", "spark fast", "merge sort join", "crawl web page index",
     "block max cache disk", "value order group window", "wi-fi", "the",
     "posting shard segment score rank", "w100x w200x", "w999x", "data",
@@ -122,7 +125,7 @@ object Bench {
       val times = (1 to math.max(1, reps - 1)).map(_ => buildOnce(32))
       benchDocs / median(times)
     }
-    val eff832 = (tp32 / tp4) / 8.0 // informational: 4->32 at ideal 8x
+    val eff432 = (tp32 / tp4) / 8.0 // informational: 4->32 at ideal 8x
 
     // ---- operator queries at the requested parallelism (after the
     // throughput phase; first query still warms up on a fresh session)
@@ -183,7 +186,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_4_to_32":$eff832%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f}""")
     spark.stop()
     // free the tmpfs space
     scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()

@@ -10,8 +10,11 @@ import graft.index.{IndexBuilder, IndexConfig}
 
 /** Physical-plan audit: prints the formatted plans of the load-bearing
   * pipelines and greps them for the properties the engine's design claims —
-  * Parquet filter/column pushdown, broadcast joins for dims, a single
-  * exchange in the index build, codegen coverage. Run after any planner-
+  * Parquet filter/column pushdown, broadcast joins for dims, absence of
+  * cartesian/nested-loop fallbacks in the similarity joins. (The index
+  * build's single-exchange shape is structural — repartition then narrow
+  * ops only — and is noted informationally below, not plan-checked: the
+  * build DataFrame is internal to IndexBuilder.) Run after any planner-
   * visible change; failures print ✗ lines.
   * Usage: runMain graft.tools.ExplainAudit [sfDir] */
 object ExplainAudit {

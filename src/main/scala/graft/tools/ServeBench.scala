@@ -25,12 +25,7 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = Seq(
-      "the data", "spark fast", "merge sort join", "crawl web page index",
-      "block max cache disk", "value order group window", "wi-fi", "the",
-      "posting shard segment score rank", "w100x w200x", "w999x", "data",
-      "hash part line agg", "customer small big", "stream batch", "dup",
-      "vector join", "term posting", "score rank", "index segment")
+    val queries = graft.Bench.benchQueries // shared fixed 20-query set
     try {
       val idxDir = Files.createTempDirectory(Paths.get(base), "idx").toString
       IndexBuilder.build(spark,
