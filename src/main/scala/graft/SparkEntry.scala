@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.index.{Deletes, IndexBuilder, IndexConfig}
 import graft.functions.{Normalize, Scoring}
-import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps}
+import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps, XmlSource}
 import graft.search.{BoolQuery, Searcher}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -282,6 +282,20 @@ object SparkEntry {
           col("head_byte").cast("long").as("head_byte"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+    // S5 XML source: synthesize one escaped XML document per row, parse it
+    // back with the real StAX parser — unescape∘escape must be identity,
+    // and the oracle simply reads the original columns
+    "q45_xml_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val xml = docs.select(col("doc_id"),
+        concat(lit("<doc><lang>"), XmlSource.xmlEscape(col("lang")),
+          lit("</lang><source>"), XmlSource.xmlEscape(col("source")),
+          lit("</source><n><![CDATA["), col("n_chars").cast("string"),
+          lit("]]></n></doc>")).as("xml"))
+      XmlSource.extractFields(xml, "xml", Seq("lang", "source", "n"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n").cast("long").as("n_chars"))
     }),
     // real codecs (no stub): synthesize closed-form P6/WAV payloads per
     // doc, parse them with graft.ops.Codecs, and emit decoded features the
@@ -725,6 +739,8 @@ object SparkEntry {
            strlen(text) % 640 AS width,
            (strlen(text) * 7) % 480 AS height
          FROM documents""",
+    "q45_xml_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     // closed-form recomputation of the synthesized P6 pixels: the engine
     // decodes real PPM bytes; the oracle never sees bytes, only the
     // generating arithmetic. Channel sums are small exact integers, so the

@@ -1,0 +1,91 @@
+package graft.ops
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S5: XML record source — the reference parses XML entries record-at-a-time
+  * (UniProt via lxml iterparse, mrtarget/plugins/gene/uniprot.py:106-115,
+  * common/UniprotIO.py). Re-expressed Spark-first: one XML document per row
+  * in a string column, parsed with the JDK's built-in StAX pull parser (no
+  * external libraries), extracting the text of requested child elements
+  * into ordinary columns that Catalyst then prunes/filters like any other.
+  *
+  * The parser is REAL (entity unescaping, CDATA, attributes skipped,
+  * nested elements traversed); malformed XML throws IllegalArgumentException
+  * with the parser's message so callers can route failures through the
+  * valid/invalid channel (ops.Routing) exactly like JSON/media parse
+  * failures. External DTD/entity resolution is disabled (XXE hardening —
+  * a crawl corpus is hostile input). */
+object XmlSource {
+
+  private val factory = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      // hostile-input hardening: no external entities, no DTD fetch
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f
+    }
+  }
+
+  /** Text content of each requested element (first occurrence, document
+    * order, any nesting depth); null for absent elements. Pure function of
+    * the input string. */
+  private[graft] def parseFields(xml: String, fields: Array[String]): Array[String] = {
+    val out = new Array[String](fields.length)
+    if (xml == null) return out
+    val reader = try {
+      factory.get().createXMLStreamReader(new java.io.StringReader(xml))
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
+    }
+    try {
+      var capture = -1
+      val buf = new StringBuilder
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (capture < 0) {
+              val name = reader.getLocalName
+              var i = 0
+              while (i < fields.length && capture < 0) {
+                if (out(i) == null && fields(i) == name) { capture = i; buf.clear() }
+                i += 1
+              }
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (capture >= 0) buf.append(reader.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            if (capture >= 0 && reader.getLocalName == fields(capture)) {
+              out(capture) = buf.toString
+              capture = -1
+            }
+          case _ =>
+        }
+      }
+      out
+    } catch {
+      case e: javax.xml.stream.XMLStreamException =>
+        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
+    } finally reader.close()
+  }
+
+  /** Add one string column per requested field, extracted from `xmlCol`. */
+  def extractFields(df: DataFrame, xmlCol: String, fields: Seq[String]): DataFrame = {
+    val fieldArr = fields.toArray
+    val parse = udf { (xml: String) => parseFields(xml, fieldArr) }
+    val withArr = df.withColumn("_xf", parse(col(xmlCol)))
+    fields.zipWithIndex.foldLeft(withArr) { case (d, (f, i)) =>
+      d.withColumn(f, col("_xf").getItem(i))
+    }.drop("_xf")
+  }
+
+  /** XML-escape a text column (synthesis helper for tests/oracles: the
+    * parser's unescape of this must be the identity on the original). */
+  def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+}

@@ -115,6 +115,29 @@ class OpsSpec extends SparkSuite {
     assert(parsed === Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
   }
 
+  test("XML source: entities, CDATA, nesting, absent fields, malformed (SURVEY S5)") {
+    import graft.ops.XmlSource
+    // entity unescape + CDATA + nested traversal + first-occurrence
+    val xml = """<e><name>A &amp; B &lt;C&gt;</name>
+      <deep><inner>nested text</inner></deep>
+      <name>second ignored</name>
+      <data><![CDATA[raw <not> parsed & kept]]></data></e>"""
+    val got = XmlSource.parseFields(xml, Array("name", "inner", "data", "absent"))
+    assert(got(0) === "A & B <C>")
+    assert(got(1) === "nested text")
+    assert(got(2) === "raw <not> parsed & kept")
+    assert(got(3) === null)
+    // malformed XML throws the routable IllegalArgumentException
+    intercept[IllegalArgumentException](
+      XmlSource.parseFields("<e><open></e>", Array("open")))
+    // DataFrame surface: extracted columns behave like ordinary columns
+    val df = Seq((1L, "<r><v>x</v></r>"), (2L, "<r><w>only w</w></r>"))
+      .toDF("id", "xml")
+    val out = XmlSource.extractFields(df, "xml", Seq("v", "w"))
+      .select("id", "v", "w").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "x", null), (2L, null, "only w")))
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
