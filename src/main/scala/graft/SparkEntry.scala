@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.index.{Deletes, IndexBuilder, IndexConfig}
 import graft.functions.{Normalize, Scoring}
-import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, SimSearch, TextOps, XmlSource}
+import graft.ops.{DataDrivenRelation, Dedup, HarmonicSum, Multimodal, Ontology, SimSearch, TextOps, XmlSource}
 import graft.search.{BoolQuery, Searcher}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -296,6 +296,28 @@ object SparkEntry {
       XmlSource.extractFields(xml, "xml", Seq("lang", "source", "n"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("n").cast("long").as("n_chars"))
+    }),
+    // S7 RDF/OWL source: synthesize one RDF/XML class fragment per doc id
+    // (binary-tree hierarchy: parent = id DIV 2, id 1 the root), parse the
+    // subClassOf edges with the real StAX reader, and materialize
+    // root-first ancestor chains by pointer jumping; the oracle recomputes
+    // the closure with a recursive CTE
+    "q46_owl_ancestors" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id").as("id"))
+        .filter(col("id").between(1, 120))
+      val xml = ids.select(col("id"), concat(
+        lit("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" " +
+          "xmlns:rdfs=\"http://www.w3.org/2000/01/rdf-schema#\" " +
+          "xmlns:owl=\"http://www.w3.org/2002/07/owl#\"><owl:Class rdf:about=\"N"),
+        col("id"), lit("\">"),
+        when(col("id") >= 2,
+          concat(lit("<rdfs:subClassOf rdf:resource=\"N"),
+            (col("id") / 2).cast("long"), lit("\"/>"))).otherwise(lit("")),
+        lit("</owl:Class></rdf:RDF>")).as("xml"))
+      val edges = Ontology.subClassEdges(xml, "xml", stripPrefix = "N")
+      Ontology.ancestorChain(edges)
+        .select(col("id"),
+          concat_ws("/", transform(col("anc"), a => a.cast("string"))).as("path"))
     }),
     // real codecs (no stub): synthesize closed-form P6/WAV payloads per
     // doc, parse them with graft.ops.Codecs, and emit decoded features the
@@ -741,6 +763,20 @@ object SparkEntry {
          FROM documents""",
     "q45_xml_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // transitive ancestor closure recomputed with a recursive CTE; d DESC
+    // puts the topmost ancestor first, matching the engine's root-first
+    // chain order
+    "q46_owl_ancestors" ->
+      """WITH RECURSIVE
+         ids AS (SELECT doc_id AS id FROM documents WHERE doc_id BETWEEN 1 AND 120),
+         edges AS (SELECT id, id // 2 AS parent FROM ids WHERE id >= 2),
+         anc AS (
+           SELECT e.id, e.parent AS node, 1 AS d FROM edges e
+           UNION ALL
+           SELECT a.id, e.parent, a.d + 1 FROM anc a JOIN edges e ON e.id = a.node
+         )
+         SELECT id, string_agg(CAST(node AS VARCHAR), '/' ORDER BY d DESC) AS path
+         FROM anc GROUP BY id""",
     // closed-form recomputation of the synthesized P6 pixels: the engine
     // decodes real PPM bytes; the oracle never sees bytes, only the
     // generating arithmetic. Channel sums are small exact integers, so the

@@ -73,6 +73,44 @@ object XmlSource {
     } finally reader.close()
   }
 
+  /** First-occurrence attribute values: specs are (elementLocalName,
+    * attributeLocalName) pairs, matched namespace-insensitively (rdf:about
+    * and about both match "about"). Same error contract as parseFields. */
+  private[graft] def parseAttrs(xml: String, specs: Array[(String, String)]): Array[String] = {
+    val out = new Array[String](specs.length)
+    if (xml == null) return out
+    val reader = try {
+      factory.get().createXMLStreamReader(new java.io.StringReader(xml))
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
+    }
+    try {
+      while (reader.hasNext) {
+        if (reader.next() == XMLStreamConstants.START_ELEMENT) {
+          val name = reader.getLocalName
+          var i = 0
+          while (i < specs.length) {
+            if (out(i) == null && specs(i)._1 == name) {
+              var a = 0
+              val n = reader.getAttributeCount
+              while (a < n && out(i) == null) {
+                if (reader.getAttributeLocalName(a) == specs(i)._2)
+                  out(i) = reader.getAttributeValue(a)
+                a += 1
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      out
+    } catch {
+      case e: javax.xml.stream.XMLStreamException =>
+        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
+    } finally reader.close()
+  }
+
   /** Add one string column per requested field, extracted from `xmlCol`. */
   def extractFields(df: DataFrame, xmlCol: String, fields: Seq[String]): DataFrame = {
     val fieldArr = fields.toArray

@@ -138,6 +138,30 @@ class OpsSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, "x", null), (2L, null, "only w")))
   }
 
+  test("OWL ancestors: attr parse + pointer-jumping closure vs brute force (S7)") {
+    import graft.ops.{Ontology, XmlSource}
+    // rdf:about / rdf:resource attribute extraction (namespace-insensitive)
+    val frag = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+      xmlns:owl="http://www.w3.org/2002/07/owl#">
+      <owl:Class rdf:about="EFO_7"><rdfs:subClassOf rdf:resource="EFO_3"/></owl:Class></rdf:RDF>"""
+    val attrs = XmlSource.parseAttrs(frag, Array(("Class", "about"), ("subClassOf", "resource")))
+    assert(attrs.toSeq === Seq("EFO_7", "EFO_3"))
+
+    // deterministic deep forest: node i's parent = i/3 (depth ~7 at 2000
+    // nodes, two roots 1 and 2); brute-force chains on the driver
+    val n = 2000
+    val edges = (3 until n).map(i => (i.toLong, (i / 3).toLong)).toDF("id", "parent")
+    def brute(i: Long): List[Long] =
+      if (i < 3) Nil else brute(i / 3) :+ (i / 3)
+    val got = Ontology.ancestorChain(edges)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.size === n - 3)
+    (3 until n).foreach { i =>
+      assert(got(i.toLong).toList === brute(i.toLong), s"node $i")
+    }
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
