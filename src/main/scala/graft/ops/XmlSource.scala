@@ -44,6 +44,7 @@ object XmlSource {
     }
     try {
       var capture = -1
+      var depth = 0 // nesting of same-name elements INSIDE the captured one
       val buf = new StringBuilder
       while (reader.hasNext) {
         reader.next() match {
@@ -52,23 +53,36 @@ object XmlSource {
               val name = reader.getLocalName
               var i = 0
               while (i < fields.length && capture < 0) {
-                if (out(i) == null && fields(i) == name) { capture = i; buf.clear() }
+                if (out(i) == null && fields(i) == name) {
+                  capture = i; depth = 0; buf.clear()
+                }
                 i += 1
               }
+            } else if (reader.getLocalName == fields(capture)) {
+              // <v>a<v>b</v>c</v>: the inner close must not end the outer
+              // capture with partial text
+              depth += 1
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (capture >= 0) buf.append(reader.getText)
           case XMLStreamConstants.END_ELEMENT =>
             if (capture >= 0 && reader.getLocalName == fields(capture)) {
-              out(capture) = buf.toString
-              capture = -1
+              if (depth > 0) depth -= 1
+              else {
+                out(capture) = buf.toString
+                capture = -1
+              }
             }
           case _ =>
         }
       }
       out
     } catch {
-      case e: javax.xml.stream.XMLStreamException =>
+      // the runtime StAX impl (Hadoop-shaded Woodstox) reports lazily via
+      // unchecked WstxLazyException, NOT XMLStreamException — wrap every
+      // parse-time failure so the error contract stays routable
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"xml: ${e.getMessage}")
     } finally reader.close()
   }
@@ -106,7 +120,8 @@ object XmlSource {
       }
       out
     } catch {
-      case e: javax.xml.stream.XMLStreamException =>
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"xml: ${e.getMessage}")
     } finally reader.close()
   }

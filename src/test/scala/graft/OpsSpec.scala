@@ -127,9 +127,29 @@ class OpsSpec extends SparkSuite {
     assert(got(1) === "nested text")
     assert(got(2) === "raw <not> parsed & kept")
     assert(got(3) === null)
+    // nested same-name elements: the inner close must not end the outer
+    // capture early (pre-fix: returned "ab" from <v>a<v>b</v>c</v>)
+    val nested = XmlSource.parseFields("<r><v>a<v>b</v>c</v></r>", Array("v"))
+    assert(nested(0) === "abc")
     // malformed XML throws the routable IllegalArgumentException
     intercept[IllegalArgumentException](
       XmlSource.parseFields("<e><open></e>", Array("open")))
+    // fuzz: arbitrary byte garbage either parses or throws the ROUTABLE
+    // exception — never anything that would escape the invalid channel
+    val rng = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val garbage = new String(Array.fill(rng.nextInt(60))(
+        (rng.nextInt(94) + 32).toChar))
+      try XmlSource.parseFields(s"<a>$garbage</a>", Array("a", "b"))
+      catch { case _: IllegalArgumentException => }
+    }
+    // round-trip property: parse(xmlEscape(x)) == x for hostile strings
+    // (same escape the q45 synthesis uses, driver-side twin)
+    val hostile = Seq("a&b", "<tag>", "a]]>b", "&amp;", "x\"y'z", "&&&<<<>>>")
+    hostile.foreach { x =>
+      val esc = x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      assert(XmlSource.parseFields(s"<a>$esc</a>", Array("a"))(0) === x, x)
+    }
     // DataFrame surface: extracted columns behave like ordinary columns
     val df = Seq((1L, "<r><v>x</v></r>"), (2L, "<r><w>only w</w></r>"))
       .toDF("id", "xml")
