@@ -1,6 +1,6 @@
 package graft.ops
 
-import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * into ordinary columns that Catalyst then prunes/filters like any other.
   *
   * The parser is REAL (entity unescaping, CDATA, attributes skipped,
-  * nested elements traversed); malformed XML throws IllegalArgumentException
-  * with the parser's message so callers can route failures through the
-  * valid/invalid channel (ops.Routing) exactly like JSON/media parse
-  * failures. External DTD/entity resolution is disabled (XXE hardening —
-  * a crawl corpus is hostile input). */
+  * nested elements traversed); every parse-time failure — including the
+  * runtime implementation's unchecked lazy exceptions and anything thrown
+  * by close() — surfaces as IllegalArgumentException so callers can route
+  * failures through the valid/invalid channel (ops.Routing) exactly like
+  * JSON/media parse failures. External DTD/entity resolution is disabled
+  * (XXE hardening — a crawl corpus is hostile input). */
 object XmlSource {
 
   private val factory = new ThreadLocal[XMLInputFactory] {
@@ -30,76 +31,91 @@ object XmlSource {
     }
   }
 
-  /** Text content of each requested element (first occurrence, document
-    * order, any nesting depth); null for absent elements. Pure function of
-    * the input string. */
-  private[graft] def parseFields(xml: String, fields: Array[String]): Array[String] = {
-    val out = new Array[String](fields.length)
-    if (xml == null) return out
+  /** ONE home for the routable-error contract: reader creation, the
+    * NonFatal→IllegalArgumentException wrap (the runtime StAX impl —
+    * Hadoop-shaded Woodstox — reports lazily via unchecked
+    * WstxLazyException, not XMLStreamException), and a close() that can
+    * neither escape unwrapped nor mask the body's exception. */
+  private def withReader[T](xml: String)(body: XMLStreamReader => T): T = {
     val reader = try {
       factory.get().createXMLStreamReader(new java.io.StringReader(xml))
     } catch {
-      case e: Exception =>
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"xml: ${e.getMessage}")
     }
-    try {
-      var capture = -1
-      var depth = 0 // nesting of same-name elements INSIDE the captured one
-      val buf = new StringBuilder
+    try body(reader)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
+    } finally {
+      try reader.close()
+      catch { case scala.util.control.NonFatal(_) => } // body's error wins
+    }
+  }
+
+  /** Text content of each requested element: first occurrence in document
+    * order, at ANY nesting depth — including a requested field inside
+    * another requested field (each open capture accumulates its own text,
+    * so the outer one keeps the inner's characters too); null for absent
+    * elements. Pure function of the input string. */
+  private[graft] def parseFields(xml: String, fields: Array[String]): Array[String] = {
+    val out = new Array[String](fields.length)
+    if (xml == null) return out
+    withReader(xml) { reader =>
+      // one open capture per field at most: (field idx, same-name nesting
+      // depth inside it, its own text buffer)
+      final class Open(val idx: Int) {
+        var depth = 0
+        val buf = new StringBuilder
+      }
+      val active = scala.collection.mutable.ArrayBuffer.empty[Open]
       while (reader.hasNext) {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT =>
-            if (capture < 0) {
-              val name = reader.getLocalName
-              var i = 0
-              while (i < fields.length && capture < 0) {
-                if (out(i) == null && fields(i) == name) {
-                  capture = i; depth = 0; buf.clear()
-                }
-                i += 1
-              }
-            } else if (reader.getLocalName == fields(capture)) {
-              // <v>a<v>b</v>c</v>: the inner close must not end the outer
-              // capture with partial text
-              depth += 1
+            val name = reader.getLocalName
+            // same-name nesting of already-open captures
+            active.foreach(o => if (fields(o.idx) == name) o.depth += 1)
+            var i = 0
+            while (i < fields.length) {
+              if (out(i) == null && fields(i) == name &&
+                  !active.exists(_.idx == i))
+                active += new Open(i)
+              i += 1
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            if (capture >= 0) buf.append(reader.getText)
+            if (active.nonEmpty) {
+              val text = reader.getText
+              active.foreach(_.buf.append(text))
+            }
           case XMLStreamConstants.END_ELEMENT =>
-            if (capture >= 0 && reader.getLocalName == fields(capture)) {
-              if (depth > 0) depth -= 1
-              else {
-                out(capture) = buf.toString
-                capture = -1
+            val name = reader.getLocalName
+            var i = active.length - 1
+            while (i >= 0) {
+              val o = active(i)
+              if (fields(o.idx) == name) {
+                if (o.depth > 0) o.depth -= 1
+                else { out(o.idx) = o.buf.toString; active.remove(i) }
               }
+              i -= 1
             }
           case _ =>
         }
       }
       out
-    } catch {
-      // the runtime StAX impl (Hadoop-shaded Woodstox) reports lazily via
-      // unchecked WstxLazyException, NOT XMLStreamException — wrap every
-      // parse-time failure so the error contract stays routable
-      case e: IllegalArgumentException => throw e
-      case scala.util.control.NonFatal(e) =>
-        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
-    } finally reader.close()
+    }
   }
 
   /** First-occurrence attribute values: specs are (elementLocalName,
     * attributeLocalName) pairs, matched namespace-insensitively (rdf:about
-    * and about both match "about"). Same error contract as parseFields. */
+    * and about both match "about"). NOTE: occurrences are independent per
+    * spec — there is no structural association between the pairs; for
+    * structured extraction (e.g. edges scoped to their enclosing element)
+    * use a dedicated walker like [[Ontology.parseSubClassEdges]]. */
   private[graft] def parseAttrs(xml: String, specs: Array[(String, String)]): Array[String] = {
     val out = new Array[String](specs.length)
     if (xml == null) return out
-    val reader = try {
-      factory.get().createXMLStreamReader(new java.io.StringReader(xml))
-    } catch {
-      case e: Exception =>
-        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
-    }
-    try {
+    withReader(xml) { reader =>
       while (reader.hasNext) {
         if (reader.next() == XMLStreamConstants.START_ELEMENT) {
           val name = reader.getLocalName
@@ -119,11 +135,38 @@ object XmlSource {
         }
       }
       out
-    } catch {
-      case e: IllegalArgumentException => throw e
-      case scala.util.control.NonFatal(e) =>
-        throw new IllegalArgumentException(s"xml: ${e.getMessage}")
-    } finally reader.close()
+    }
+  }
+
+  /** Streaming element walk for structured extraction: invokes `onStart`
+    * with (localName, attribute lookup by local name) for every start
+    * element and `onEnd` with the localName for every end element. */
+  private[graft] def walk(xml: String)(
+      onStart: (String, String => Option[String]) => Unit,
+      onEnd: String => Unit): Unit = {
+    if (xml == null) return
+    withReader(xml) { reader =>
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val lookup: String => Option[String] = { attr =>
+              var a = 0
+              val n = reader.getAttributeCount
+              var found: Option[String] = None
+              while (a < n && found.isEmpty) {
+                if (reader.getAttributeLocalName(a) == attr)
+                  found = Some(reader.getAttributeValue(a))
+                a += 1
+              }
+              found
+            }
+            onStart(reader.getLocalName, lookup)
+          case XMLStreamConstants.END_ELEMENT =>
+            onEnd(reader.getLocalName)
+          case _ =>
+        }
+      }
+    }
   }
 
   /** Add one string column per requested field, extracted from `xmlCol`. */
@@ -137,8 +180,13 @@ object XmlSource {
   }
 
   /** XML-escape a text column (synthesis helper for tests/oracles: the
-    * parser's unescape of this must be the identity on the original). */
+    * parser's unescape of this must be the identity on the original).
+    * Code points XML 1.0 cannot carry at all (C0 controls other than
+    * tab/LF/CR) are DROPPED — no escape exists for them, so round-trip
+    * identity holds only for XML-legal strings. */
   def xmlEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
 }

@@ -131,6 +131,11 @@ class OpsSpec extends SparkSuite {
     // capture early (pre-fix: returned "ab" from <v>a<v>b</v>c</v>)
     val nested = XmlSource.parseFields("<r><v>a<v>b</v>c</v></r>", Array("v"))
     assert(nested(0) === "abc")
+    // a requested field nested inside another requested field: both
+    // capture (pre-fix: the inner one silently stayed null)
+    val nestedReq = XmlSource.parseFields(
+      "<entry>pre<name>X</name>post</entry>", Array("entry", "name"))
+    assert(nestedReq.toSeq === Seq("preXpost", "X"))
     // malformed XML throws the routable IllegalArgumentException
     intercept[IllegalArgumentException](
       XmlSource.parseFields("<e><open></e>", Array("open")))
@@ -167,6 +172,27 @@ class OpsSpec extends SparkSuite {
       <owl:Class rdf:about="EFO_7"><rdfs:subClassOf rdf:resource="EFO_3"/></owl:Class></rdf:RDF>"""
     val attrs = XmlSource.parseAttrs(frag, Array(("Class", "about"), ("subClassOf", "resource")))
     assert(attrs.toSeq === Seq("EFO_7", "EFO_3"))
+
+    // structural edge scoping: multiple classes per fragment, a root class
+    // without a parent, and a multi-parent class — every edge pairs a
+    // subClassOf with its ENCLOSING class, nothing fabricated or dropped
+    val multi = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+      xmlns:owl="http://www.w3.org/2002/07/owl#">
+      <owl:Class rdf:about="N1"/>
+      <owl:Class rdf:about="N7">
+        <rdfs:subClassOf rdf:resource="N3"/>
+        <rdfs:subClassOf rdf:resource="N2"/>
+      </owl:Class></rdf:RDF>"""
+    assert(graft.ops.Ontology.parseSubClassEdges(multi).toSeq ===
+      Seq(("N7", "N3"), ("N7", "N2")))
+
+    // a multi-parent DAG violates the forest precondition — loud failure,
+    // never silently multiplied rows
+    val dag = Seq((5L, 2L), (5L, 3L), (2L, 1L)).toDF("id", "parent")
+    val err = intercept[IllegalArgumentException](
+      graft.ops.Ontology.ancestorChain(dag))
+    assert(err.getMessage.contains("multiple parents"))
 
     // deterministic deep forest: node i's parent = i/3 (depth ~7 at 2000
     // nodes, two roots 1 and 2); brute-force chains on the driver
