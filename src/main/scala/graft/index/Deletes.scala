@@ -143,11 +143,22 @@ object Deletes {
     val dictRel = f"termdict/snap-$newId%05d"
     IndexBuilder.writeTermdict(spark, Seq(s"$indexDir/$rel"),
       s"$indexDir/$dictRel", IndexConfig().saltBuckets)
+    // the suggest artifact derives from the termdict — rebuild it from the
+    // post-purge dictionary when the index carries one
+    val (sugRel, sugRows) = snap.suggestDir match {
+      case None => (None, 0L)
+      case Some(_) =>
+        val rel2 = f"suggest/snap-$newId%05d"
+        val n = IndexBuilder.writeSuggest(spark, s"$indexDir/$dictRel",
+          s"$indexDir/$rel2")
+        (Some(rel2), n)
+    }
     val neu = snap.copy(id = newId, parent = snap.id,
       numDocs = metas.map(_.docs).sum,
       sumDocLen = metas.map(_.sumDocLen).sum,
       dataDirs = Seq(rel), termdictDir = Some(dictRel),
-      segments = metas, deletedDocs = 0L)
+      segments = metas, deletedDocs = 0L,
+      suggestDir = sugRel, suggestRows = sugRows)
     Snapshot.commit(indexDir, neu)
     neu
   }

@@ -16,7 +16,11 @@ import graft.search.Bm25
 case class IndexConfig(
     numSegments: Int = 32,
     blockSize: Int = 128,
-    saltBuckets: Int = 8)
+    saltBuckets: Int = 8,
+    // build the persisted ngram->term suggest table with each complete
+    // commit (opt-in, like an ES mapping declaring suggest fields — costs
+    // one termdict-sized explode at build time)
+    suggest: Boolean = false)
 
 /** On-disk posting row. One row per (segment, term) carrying the full
   * compressed posting list for that segment, plus per-block skip metadata:
@@ -338,6 +342,16 @@ object IndexBuilder {
         s"$indexDir/$rel", cfg.saltBuckets))
     }
 
+    // suggest artifact: sticky across append/resume — once an index was
+    // built with suggest on, every later complete commit rebuilds it
+    // alongside the termdict it derives from
+    val wantSuggest = cfg.suggest || prior.exists(_.suggestDir.isDefined)
+    val suggestRel =
+      if (complete && wantSuggest) Some(f"suggest/snap-$snapId%05d") else None
+    val suggestRows = suggestRel.map { rel => timed("suggest")(
+      writeSuggest(spark, s"$indexDir/${termdictRel.get}", s"$indexDir/$rel"))
+    }.getOrElse(0L)
+
     val snap = SnapshotMeta(
       id = snapId, parent = prior.map(_.id).getOrElse(-1), status = "segments",
       numDocs = allSegments.map(_.docs).sum,
@@ -346,9 +360,28 @@ object IndexBuilder {
       dataDirs = allDataDirs, termdictDir = termdictRel, segments = allSegments,
       // tombstones committed before this build/append stay live (their
       // TermDels rows ride along in dataDirs) — the counter must too
-      deletedDocs = prior.map(_.deletedDocs).getOrElse(0L))
+      deletedDocs = prior.map(_.deletedDocs).getOrElse(0L),
+      suggestDir = suggestRel, suggestRows = suggestRows)
     Snapshot.commit(indexDir, snap)
     snap
+  }
+
+  /** S11/§2.8 suggest artifact: the persisted ngram -> (term, cf) table the
+    * autocomplete path queries, precomputed at build time exactly like the
+    * reference's suggestion fields (mrtarget/modules/SearchObjects.py:54-77;
+    * ngram filter 4..10 per resources/es/sea_settings.json:11-21). Derived
+    * from the committed termdict — cf is the corpus-wide collection
+    * frequency — and gram-sorted so a prefix probe is a pushed-down
+    * parquet range/equality scan, the same access shape as the termdict.
+    * Returns the row count (snapshot lineage metric). */
+  private[index] def writeSuggest(
+      spark: SparkSession, termdictAbs: String, outAbs: String): Long = {
+    val ng = udf((t: String) => Analyzer.ngrams(t).distinct)
+    spark.read.parquet(termdictAbs)
+      .select(explode(ng(col("term"))).as("gram"), col("term"), col("cf"))
+      .sort("gram", "term")
+      .write.mode("overwrite").parquet(outAbs)
+    spark.read.parquet(outAbs).count()
   }
 
   /** Global term dictionary over committed segment dirs. Explicit two-phase
@@ -584,7 +617,8 @@ object IndexBuilder {
   def vacuum(indexDir: String): Seq[String] = {
     val snap = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
-    val referenced = (snap.dataDirs ++ snap.termdictDir.toSeq).toSet
+    val referenced =
+      (snap.dataDirs ++ snap.termdictDir.toSeq ++ snap.suggestDir.toSeq).toSet
     def orphansIn(sub: String, prefix: String): Seq[String] = {
       val dir = java.nio.file.Paths.get(indexDir, sub)
       if (!java.nio.file.Files.isDirectory(dir)) Nil
@@ -597,7 +631,8 @@ object IndexBuilder {
         finally ls.close()
       }
     }
-    val orphans = orphansIn("data", "data") ++ orphansIn("termdict", "termdict")
+    val orphans = orphansIn("data", "data") ++
+      orphansIn("termdict", "termdict") ++ orphansIn("suggest", "suggest")
     orphans.foreach { rel =>
       val root = java.nio.file.Paths.get(indexDir, rel)
       val walk = java.nio.file.Files.walk(root)

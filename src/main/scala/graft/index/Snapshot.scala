@@ -38,7 +38,17 @@ case class SnapshotMeta(
     // not count). ES/Lucene semantics: numDocs/sumDocLen/df still include
     // them until Deletes.purge rewrites the postings. Primitive Long, so
     // pre-deletes snapshot files deserialize as 0.
-    deletedDocs: Long = 0L) {
+    deletedDocs: Long = 0L,
+    // precomputed autocomplete artifact (ngram -> term, cf), built from the
+    // termdict at commit when IndexConfig.suggest is on — the reference's
+    // build-time suggestion fields (mrtarget/modules/SearchObjects.py:54-77
+    // + the edgeNGram analyzer, resources/es/sea_settings.json:11-21).
+    // suggestRows is its lineage metric (row count). Like ES suggest
+    // fields, the table tracks the termdict: tombstones don't touch it,
+    // purge/append rebuild it with the termdict. Optional/0 so pre-suggest
+    // snapshot files deserialize cleanly.
+    suggestDir: Option[String] = None,
+    suggestRows: Long = 0L) {
   def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
   /** Appends create new generations of segments: generation g occupies
     * segIds [g*numSegments, (g+1)*numSegments). */
@@ -83,11 +93,17 @@ object Snapshot {
   def commit(indexDir: String, snap: SnapshotMeta): Unit = commitMonitor.synchronized {
     val dir = snapsDir(indexDir)
     Files.createDirectories(dir)
-    val lockCh = java.nio.channels.FileChannel.open(dir.resolve("COMMIT_LOCK"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val lock = lockCh.lock()
+    // acquire INSIDE the try: if lock() itself throws (interrupt,
+    // OverlappingFileLockException from an unexpected in-JVM holder) the
+    // channel must still close — tracked nullable so finally can tell how
+    // far acquisition got
+    var lockCh: java.nio.channels.FileChannel = null
+    var lock: java.nio.channels.FileLock = null
     try {
+      lockCh = java.nio.channels.FileChannel.open(dir.resolve("COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      lock = lockCh.lock()
       val ptr = dir.resolve("LATEST")
       val cur = if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else -1
       if (cur != snap.parent)
@@ -105,8 +121,8 @@ object Snapshot {
       Files.move(latestTmp, ptr, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     } finally {
-      lock.release()
-      lockCh.close()
+      if (lock != null) lock.release()
+      if (lockCh != null) lockCh.close()
     }
   }
 

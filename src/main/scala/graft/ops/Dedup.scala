@@ -77,11 +77,12 @@ object Dedup {
     *    before the intersection count
     *
     * Costs ~4 extra shuffles (df agg, per-doc window, candidate distinct,
-    * re-join for the intersection) — worth it exactly when the simple
-    * join's head-shingle blowup dominates, i.e. at web scale, not at the
-    * bench's bounded-df synthetic corpus (measured 2.8 s vs 12.5 s at
-    * sf0.1 — which is why q11 keeps the simple plan and DedupSpec pins the
-    * two plans equal). */
+    * re-join for the intersection) vs the simple join's one — the price of
+    * skew immunity. q11 wires THIS plan (the 100x-safe one; DedupSpec pins
+    * it equal to [[jaccardPairs]]); the simple variant remains for
+    * bounded-df corpora where its single shuffle wins (measured 2.8 s
+    * simple vs 12.5 s prefix at sf0.1's uniform synthetic shingles — the
+    * asymmetry inverts under Zipf head shingles). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -208,7 +209,21 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * banding the 64-bit hash into 4x16-bit keys (any pair within Hamming 3
-    * shares at least one exact 16-bit band — pigeonhole). */
+    * shares at least one exact 16-bit band — pigeonhole; the banded
+    * candidate set therefore EQUALS the full cross-join's qualifying set,
+    * which is what the q48 oracle recomputes).
+    *
+    * Scale ceiling, stated honestly: within one 16-bit band bucket the
+    * self-join is quadratic — ~(n/2^16)^2 candidate pairs per band under
+    * uniform hashing, so at 10^10 docs this banding floods. The standard
+    * escalations, in order: (a) split 64 bits into MORE, narrower tables
+    * over a wider fingerprint (e.g. 6x/7x blocks of a 64-bit hash catching
+    * Hamming<=3 via any-2-block matches — Manku, Jain, Sarma, WWW'07 —
+    * which raises the bucket key to 21-32 bits and divides collision volume
+    * by ~2^5..2^16 per table), or (b) switch families: [[minhashLshPairs]]
+    * bounds candidates by tunable bands x rows and is the wired 100TB path
+    * for high-dup corpora. This 4x16 config is right for corpus sizes up to
+    * ~10^8 where its single narrow shuffle wins. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only to Hamming 3")

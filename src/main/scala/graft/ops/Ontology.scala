@@ -57,31 +57,34 @@ object Ontology {
       .filter(col("id").isNotNull && col("parent").isNotNull)
   }
 
-  /** Root-first ancestor chain per node: for edges (id, parent) forming a
-    * FOREST, returns (id, anc) where anc = [root, ..., grandparent,
-    * parent]. Nodes without a parent edge do not appear (their chain is
-    * empty).
-    *
-    * Preconditions enforced loudly rather than silently mis-answered:
-    * a node with more than one parent (a DAG — pointer jumping would
-    * multiply its rows combinatorially) is rejected up front; dedupe or
-    * explode multi-parent paths before calling. A cycle never reaches a
-    * fixpoint and trips the `maxRounds` guard (2^20 depth exceeds any
-    * real ontology). */
-  def ancestorChain(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
-    val dup = edges.groupBy(col("id")).count()
-      .filter(col("count") > 1).select(col("id")).limit(1).collect()
-    require(dup.isEmpty,
-      s"ancestorChain: node ${if (dup.nonEmpty) dup(0).get(0) else ""} has " +
-        "multiple parents — a forest is required (dedupe or path-explode first)")
+  /** An iterative-closure result whose `df` is backed by the final round's
+    * `localCheckpoint` blocks. Those blocks register OUTSIDE the cache
+    * manager (Dataset.unpersist cannot release them), so the handle carries
+    * an explicit `release()`: call it once the result has been consumed
+    * (collected/written) and the blocks are freed; the df is NOT
+    * recomputable afterwards. Long-lived sessions making repeated closure
+    * calls must release, or pinned RDDs accumulate. */
+  final case class PinnedResult(df: DataFrame, release: () => Unit)
 
-    // localCheckpoint cuts lineage but registers outside the cache
-    // manager, so Dataset.unpersist cannot release it; track the rdd ids
-    // each round materializes via getPersistentRDDs and free the
-    // superseded round explicitly. (The probe window is this thread's
-    // checkpoint call; a concurrent persist landing inside it would at
-    // worst be unpersisted early and recompute — never corrupt.)
+  /** Shared pointer-jumping core of [[ancestorChain]]/[[ancestorPaths]]:
+    * state rows (id, anc) where anc is a root-ward path [top, ...,
+    * parent]; each round every unfinished path prepends, per state path of
+    * its TOP node, that full path — doubling covered depth per round, so a
+    * depth-D graph closes in O(log D) self-joins. On a forest each row has
+    * exactly one extension (a chain); on a DAG the left join fans out once
+    * per distinct path of the top node, which enumerates every (id,
+    * root-path) exactly once: unfinished paths all have length exactly 2^r
+    * (so distinct rows compose to distinct rows), and a finished path's
+    * top is parentless while an unfinished one's is not (so the two pools
+    * can never collide). Fixpoint when the path-length sum stops growing =
+    * every row missed the join = all tops are roots. `localCheckpoint`
+    * cuts the exponentially-growing self-join lineage each round;
+    * superseded rounds' blocks are freed as rounds advance, the final
+    * round's through the returned handle. (The tracking probe window is
+    * this thread's checkpoint call; a concurrent persist landing inside it
+    * would at worst be unpersisted early and recompute — never corrupt.) */
+  private def closure(edges: DataFrame, maxRounds: Int, op: String): PinnedResult = {
+    val spark = edges.sparkSession
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
@@ -95,13 +98,13 @@ object Ontology {
     var (anc, held) = checkpointTracked(
       edges.select(col("id").cast("long").as("id"),
         array(col("parent").cast("long")).as("anc")))
-    if (anc.isEmpty) return anc
+    if (anc.isEmpty) return PinnedResult(anc, () => free(held))
     var total = anc.agg(sum(size(col("anc")))).head().getLong(0)
     var round = 0
     var done = false
     while (!done) {
       require(round < maxRounds,
-        s"ancestorChain: no fixpoint after $maxRounds doubling rounds — cycle in edges?")
+        s"$op: no fixpoint after $maxRounds doubling rounds — cycle in edges?")
       val m = anc.select(col("id").as("_jid"), col("anc").as("_janc"))
       val (next, nextHeld) = checkpointTracked(
         anc.withColumn("_top", element_at(col("anc"), 1))
@@ -117,6 +120,53 @@ object Ontology {
       anc = next
       round += 1
     }
-    anc
+    val finalHeld = held
+    PinnedResult(anc, () => free(finalHeld))
   }
+
+  /** Root-first ancestor chain per node: for edges (id, parent) forming a
+    * FOREST, returns (id, anc) where anc = [root, ..., grandparent,
+    * parent]. Nodes without a parent edge do not appear (their chain is
+    * empty).
+    *
+    * Preconditions enforced loudly rather than silently mis-answered:
+    * a node with more than one parent (a DAG) is rejected up front — use
+    * [[ancestorPaths]], which materializes ALL root paths. A cycle never
+    * reaches a fixpoint and trips the `maxRounds` guard (2^20 depth
+    * exceeds any real ontology).
+    *
+    * The result rides on pinned checkpoint blocks that outlive this call;
+    * use [[ancestorChainManaged]] in long-lived sessions to free them. */
+  def ancestorChain(edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    ancestorChainManaged(edges, maxRounds).df
+
+  /** [[ancestorChain]] with a [[PinnedResult]] release handle. */
+  def ancestorChainManaged(edges: DataFrame, maxRounds: Int = 20): PinnedResult = {
+    val dup = edges.groupBy(col("id")).count()
+      .filter(col("count") > 1).select(col("id")).limit(1).collect()
+    require(dup.isEmpty,
+      s"ancestorChain: node ${if (dup.nonEmpty) dup(0).get(0) else ""} has " +
+        "multiple parents — a forest is required (ancestorPaths handles DAGs)")
+    closure(edges, maxRounds, "ancestorChain")
+  }
+
+  /** ALL root-first ancestor paths per node over a multi-inheritance DAG:
+    * one row (id, anc) per distinct maximal ascending path, anc = [root,
+    * ..., grandparent, parent]. This is the reference's EFO shape — its
+    * ontologies are DAGs and it materializes a LIST of class paths per
+    * node (mrtarget/modules/EFO.py:147-214 classes_paths['ids']; Reactome
+    * uses networkx all_simple_paths, modules/Reactome.py:88).
+    *
+    * Output size equals the number of root paths — inherent to the
+    * semantics, and bounded in practice: real ontologies are shallow
+    * (EFO depth < 20) and corpus-small next to the document tables this
+    * engine targets. Rounds are O(log D) pointer-jumping self-joins, NOT
+    * O(D) frontier steps. Duplicate input edges are collapsed (edge SET
+    * semantics) so a doubly-asserted subClassOf cannot double paths. */
+  def ancestorPaths(edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    ancestorPathsManaged(edges, maxRounds).df
+
+  /** [[ancestorPaths]] with a [[PinnedResult]] release handle. */
+  def ancestorPathsManaged(edges: DataFrame, maxRounds: Int = 20): PinnedResult =
+    closure(edges.select("id", "parent").distinct(), maxRounds, "ancestorPaths")
 }

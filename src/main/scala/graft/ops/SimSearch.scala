@@ -264,7 +264,12 @@ object SimSearch {
       math.sqrt(s)
     }
 
-    /** cell ids of the n nearest centroids of v, by (rounded cos desc, id). */
+    /** cell ids of the n nearest centroids of v, by (rounded cos desc, id).
+      * Rounding MUST be BigDecimal HALF_UP — bit-identical to both the
+      * emitted `round(cos, 6)` column and the DuckDB oracle's round(); the
+      * earlier math.rint was half-EVEN and flipped 6-dp centroid-assignment
+      * ties. `+ 0.0` normalizes -0.0 so the (-cos, cid) tuple sort cannot
+      * rank -0.0 below 0.0 where SQL double comparison treats them equal. */
     def nearestCells(v: Array[Double], n: Int): Array[Long] = {
       var nv = 0.0
       var i = 0
@@ -277,7 +282,8 @@ object SimSearch {
         var dot = 0.0
         var d = 0
         while (d < cv.length) { dot += v(d) * cv(d); d += 1 }
-        val cos = math.rint(dot / (vn * centNorms(c)) * 1e6) / 1e6
+        val cos = java.math.BigDecimal.valueOf(dot / (vn * centNorms(c)))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
         scored(c) = (cos, centIds(c))
         c += 1
       }
@@ -318,21 +324,33 @@ object SimSearch {
       }
       key
     }
-    def bucketed(df: DataFrame, ic: String): DataFrame =
-      df.select(col(ic), col("v"),
-          explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
-        .withColumn("bucket", bucketUdf(col("v"), col("tbl")))
+    // (id, tbl, bucket) only — the vector is consumed by the bucket hash
+    // and dropped before the exchange, so the candidate join shuffles three
+    // scalar columns, never dim-sized arrays
+    def bucketed(df: DataFrame, ic: String, vc: String): DataFrame =
+      df.select(col(ic),
+          explode(sequence(lit(0), lit(tables - 1))).as("tbl"),
+          col(vc).as("_bv"))
+        .withColumn("bucket", bucketUdf(col("_bv"), col("tbl")))
+        .drop("_bv")
 
-    val e = bucketed(emb.select(col(idCol).as("nbr_id"),
-      col(vecCol).cast("array<double>").as("v")), "nbr_id")
-    val p = bucketed(probes.select(col(idCol).as("probe_id"),
-      col(vecCol).cast("array<double>").as("v")), "probe_id")
-      .withColumnRenamed("v", "pv")
+    val eVecs = emb.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pVecs = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val e = bucketed(eVecs, "nbr_id", "v")
+    val p = bucketed(pVecs, "probe_id", "pv")
 
-    topKByCos(e.join(p, Seq("tbl", "bucket"))
+    // dedup candidates on the two id columns ONLY — a vector appears in up
+    // to `tables` buckets, and shuffling + hash-comparing dim-sized arrays
+    // per duplicate candidate is the scale cost the id-only distinct
+    // avoids; the exact re-rank re-joins the vectors afterwards (one
+    // probe-side broadcast-sized join + one table-side equi-join)
+    val candIds = e.join(p, Seq("tbl", "bucket"))
       .filter(col("nbr_id") =!= col("probe_id"))
-      .select("probe_id", "pv", "nbr_id", "v")
+      .select("probe_id", "nbr_id")
       .distinct()
+    topKByCos(candIds.join(eVecs, Seq("nbr_id")).join(pVecs, Seq("probe_id"))
       .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6)), k)
   }
 }

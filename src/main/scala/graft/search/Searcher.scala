@@ -157,7 +157,13 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     // instead of LATEST (Iceberg `VERSION AS OF`); readers holding a pinned
     // handle are isolated from concurrent append/delete/upsert commits,
     // whose data dirs stay readable until a vacuum
-    snapshotId: Option[Int] = None) {
+    snapshotId: Option[Int] = None,
+    // warm-cache task granularity: how many partitions the cached posting
+    // table is clustered into (default = spark.sql.shuffle.partitions).
+    // Fewer, fatter partitions cut per-query task-scheduling floor; more
+    // give intra-query parallelism headroom — per-partition grouping in
+    // the query path is correct at ANY value (segments never split)
+    warmPartitions: Option[Int] = None) {
   import spark.implicits._
 
   val snap: SnapshotMeta = snapshotId
@@ -193,7 +199,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       // term within partitions: the in-memory columnar cache keeps min/max
       // stats per batch, so the per-query term filter prunes whole batches
       // instead of decompressing every posting blob
-      val c = ds.repartition(col("segId"))
+      val c = warmPartitions.map(n => ds.repartition(n, col("segId")))
+        .getOrElse(ds.repartition(col("segId")))
         .sortWithinPartitions("term", "segId").cache()
       c.count()
       c

@@ -32,6 +32,15 @@ object ExplainAudit {
     }
   }
 
+  private def checkRegex(name: String, p: String, want: Seq[(String, Boolean)]): Unit = {
+    println(s"== $name ==")
+    want.foreach { case (pattern, expected) =>
+      val found = pattern.r.findFirstIn(p).isDefined
+      val ok = found == expected
+      println(s"  ${if (ok) "ok " else "✗✗ "} ${if (expected) "matches" else "lacks"} /$pattern/ -> $found")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -94,6 +103,24 @@ object ExplainAudit {
     check("q29 no nested-loop / vocab broadcast", p7, Seq(
       "CartesianProduct" -> false,
       "BroadcastNestedLoopJoin" -> false))
+
+    // 7a. q11 shingle near-dup is wired to the PREFIX-FILTER plan: the
+    // per-doc (df asc, shingle asc) ordering window is its structural
+    // marker (the simple skew-prone join has no Window), and head shingles
+    // never become candidate join keys by construction.
+    val p7a = plan(graft.SparkEntry.queries("q11_jaccard_neardup")(spark, sfDir))
+    check("q11 prefix-filter plan wired", p7a, Seq(
+      "Window" -> true,
+      "CartesianProduct" -> false,
+      "BroadcastNestedLoopJoin" -> false))
+
+    // 7a'. q22 hyperplane-LSH: the candidate dedup must group on the two
+    // id columns ONLY — a HashAggregate keyed on (probe_id, nbr_id) with
+    // no dim-sized vector column in the keys (the round-2 scale finding).
+    val p7c = plan(graft.SparkEntry.queries("q22_ann_lsh")(spark, sfDir))
+    checkRegex("q22 id-only candidate distinct", p7c, Seq(
+      """Keys \[2\]: \[probe_id#\d+L?, nbr_id#\d+L?\]""" -> true,
+      """Keys \[\d+\]: \[[^\]]*pv#""" -> false))
 
     // 7b. q42 IVF ANN: candidates must come from the cell equi-join (one
     // vector = one cell), never a cartesian/nested-loop fallback

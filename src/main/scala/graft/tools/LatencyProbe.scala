@@ -1,0 +1,108 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.IndexHandle
+
+/** Distributed-path latency profiler: where do the milliseconds of a warm
+  * `IndexHandle.topK` go — Spark job time (task scheduling + cached-batch
+  * scan + scoring) vs driver-side overhead (compile, dict probe, url
+  * resolution)? Sweeps the two warm-cache layout knobs that plausibly set
+  * the floor: cached-partition count (task scheduling) and in-memory
+  * columnar batch size (decode waste per touched batch: a 10k-row batch of
+  * multi-KB posting blobs decompresses wholesale even when the query needs
+  * three rows of it).
+  *
+  * Env: GRAFT_PROBE_DOCS (default 2000000), GRAFT_PROBE_CPUS (32).
+  * Usage: runMain graft.tools.LatencyProbe */
+object LatencyProbe {
+
+  private final class JobClock extends SparkListener {
+    val totalMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      starts.put(js.jobId, System.nanoTime())
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      val t0 = starts.remove(je.jobId)
+      if (t0 != 0L) { totalMs.addAndGet((System.nanoTime() - t0) / 1000000); jobs.incrementAndGet() }
+    }
+    def reset(): Unit = { totalMs.set(0); jobs.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docs = sys.env.getOrElse("GRAFT_PROBE_DOCS", "2000000").toLong
+    val cpus = sys.env.getOrElse("GRAFT_PROBE_CPUS", "32").toInt
+    val baseRoot =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
+    val base = s"$baseRoot/graft-probe"
+    Files.createDirectories(Paths.get(base))
+    val cfg = IndexConfig(numSegments = 256, blockSize = 128)
+
+    def session(batchSize: Int): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-latency-probe")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", batchSize.toString)
+        .config("spark.local.dir", s"$base/spark-local")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+
+    // stage corpus + index once, reused across probe runs
+    var spark = session(10000)
+    spark.sparkContext.setLogLevel("WARN")
+    val idxDir = s"$base/idx-$docs"
+    if (!Files.exists(Paths.get(idxDir, "snapshots"))) {
+      val corpusDir = s"$base/corpus-$docs"
+      if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
+        Corpus.pages(spark, docs, seed = 42, numPartitions = 32)
+          .select("url", "text").write.mode("overwrite").parquet(corpusDir)
+      IndexBuilder.build(spark, spark.read.parquet(corpusDir), idxDir, cfg)
+    }
+
+    val queries = graft.Bench.benchQueries
+
+    def probe(label: String, batchSize: Int, warmParts: Option[Int]): Unit = {
+      spark.stop()
+      spark = session(batchSize)
+      spark.sparkContext.setLogLevel("WARN")
+      val clock = new JobClock
+      spark.sparkContext.addSparkListener(clock)
+      val handle = new IndexHandle(spark, idxDir, warm = true,
+        warmPartitions = warmParts)
+      queries.foreach(q => handle.topK(q, 10)) // warm JIT + url caches
+      clock.reset()
+      val lat = queries.map { q =>
+        val t0 = System.nanoTime()
+        handle.topK(q, 10)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      val p50 = lat(lat.length / 2)
+      val p95 = lat(math.min((lat.length * 95) / 100, lat.length - 1))
+      val jobMs = clock.totalMs.get().toDouble / queries.length
+      val njobs = clock.jobs.get().toDouble / queries.length
+      println(f"[probe] $label%-28s p50=$p50%7.1f ms  p95=$p95%7.1f ms  " +
+        f"avgJobMs=$jobMs%7.1f  jobs/query=$njobs%.1f")
+      handle.close()
+    }
+
+    probe("current(batch=10k,parts=32)", 10000, None)
+    probe("batch=1k,parts=32", 1000, None)
+    probe("batch=100,parts=32", 100, None)
+    probe("batch=10k,parts=8", 10000, Some(8))
+    probe("batch=1k,parts=8", 1000, Some(8))
+    probe("batch=1k,parts=16", 1000, Some(16))
+    probe("batch=100,parts=16", 100, Some(16))
+
+    spark.stop()
+  }
+}

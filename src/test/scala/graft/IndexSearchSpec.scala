@@ -57,6 +57,47 @@ class IndexSearchSpec extends SparkSuite {
     } finally handle.close()
   }
 
+  test("suggest artifact: built with the snapshot, termdict-consistent, purge-rebuilt") {
+    import org.apache.spark.sql.functions.{col, explode, udf}
+    val dir = Files.createTempDirectory("graft-suggest-idx").toString
+    val p = Corpus.pages(spark, 120, seed = 7, vocabSize = 200, medianLen = 30)
+    IndexBuilder.build(spark, p.toDF(), dir,
+      IndexConfig(numSegments = 4, blockSize = 16, suggest = true))
+    val snap = Snapshot.latest(dir).get
+    assert(snap.suggestDir.isDefined)
+
+    // artifact rows == explode of the committed termdict through the SAME
+    // ngram analyzer (distinct grams per term), cf preserved
+    val ng = udf((t: String) => graft.analysis.Analyzer.ngrams(t).distinct)
+    val fromDict = spark.read.parquet(s"$dir/${snap.termdictDir.get}")
+      .select(explode(ng(col("term"))).as("gram"), col("term"), col("cf"))
+      .as[(String, String, Long)].collect().toSet
+    val artifact = spark.read.parquet(s"$dir/${snap.suggestDir.get}")
+      .as[(String, String, Long)].collect()
+    assert(artifact.toSet === fromDict)
+    assert(snap.suggestRows === artifact.length.toLong)
+
+    // tombstones leave the artifact alone (ES semantics: suggest fields
+    // don't see deletes until merge); purge REBUILDS it from the new
+    // termdict, and vacuum never touches the referenced copy
+    graft.index.Deletes.deleteByQuery(spark, dir,
+      graft.search.BoolQuery(filter = Seq("the")))
+    assert(Snapshot.latest(dir).get.suggestDir === snap.suggestDir)
+    graft.index.Deletes.purge(spark, dir)
+    val purged = Snapshot.latest(dir).get
+    assert(purged.suggestDir.isDefined)
+    assert(purged.suggestDir !== snap.suggestDir)
+    IndexBuilder.vacuum(dir)
+    val afterVacuum = spark.read.parquet(s"$dir/${purged.suggestDir.get}")
+      .as[(String, String, Long)].collect().toSet
+    val purgedDict = spark.read.parquet(s"$dir/${purged.termdictDir.get}")
+      .select(explode(ng(col("term"))).as("gram"), col("term"), col("cf"))
+      .as[(String, String, Long)].collect().toSet
+    assert(afterVacuum === purgedDict)
+    // the pre-purge suggest dir is unreferenced now — vacuum reclaimed it
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/${snap.suggestDir.get}")))
+  }
+
   test("fetchSource (_source includes): hit decoration with a pruned corpus scan") {
     val dir = Files.createTempDirectory("graft-src").toString
     pages.toDF().write.mode("overwrite").parquet(s"$dir/pages")

@@ -208,6 +208,50 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("OWL DAG ancestorPaths: all root paths vs brute force; edge dedup; release handle") {
+    import graft.ops.Ontology
+    // multi-inheritance DAG: parents(i) = {i/2} ∪ {i/3} (the q47 shape),
+    // 300 nodes, root 1 — brute-force path enumeration on the driver
+    val n = 300
+    val edgeSeq = (2 until n).flatMap { i =>
+      Seq((i.toLong, (i / 2).toLong)) ++
+        (if (i >= 3) Seq((i.toLong, (i / 3).toLong)) else Nil)
+    }
+    def brute(i: Long): List[List[Long]] =
+      if (i < 2) List(Nil)
+      else Set(i / 2, i / 3).filter(_ >= 1).toList.sorted.flatMap(p =>
+        brute(p).map(_ :+ p)) // root-first
+    val expect = (2 until n).flatMap(i =>
+      brute(i.toLong).map(p => (i.toLong, p))).toSet
+
+    // duplicate edges injected deliberately (i/2 == i/3 at i=3 already
+    // duplicates; add a few more) — edge-SET semantics must hold
+    val edges = (edgeSeq ++ edgeSeq.take(5)).toDF("id", "parent")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val managed = Ontology.ancestorPathsManaged(edges)
+    val got = managed.df.as[(Long, Seq[Long])].collect()
+      .map { case (id, p) => (id, p.toList) }.toSet
+    assert(got === expect)
+    // exactly one path per node that is forest-shaped, several for DAG
+    // nodes: node 6 has parents {3, 2} -> paths 1/3 and 1/2
+    assert(got.filter(_._1 == 6L).map(_._2) === Set(List(1L, 3L), List(1L, 2L)))
+    // the release handle frees the final round's pinned checkpoint blocks
+    managed.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
+
+    // the forest chain API agrees with paths on a forest (unique paths)
+    val forest = (3 until 50).map(i => (i.toLong, (i / 3).toLong)).toDF("id", "parent")
+    val chains = Ontology.ancestorChain(forest).as[(Long, Seq[Long])]
+      .collect().toMap
+    val paths = Ontology.ancestorPaths(forest).as[(Long, Seq[Long])]
+      .collect().groupBy(_._1)
+    assert(paths.keySet === chains.keySet)
+    paths.foreach { case (id, ps) =>
+      assert(ps.length === 1)
+      assert(ps.head._2.toList === chains(id).toList)
+    }
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
