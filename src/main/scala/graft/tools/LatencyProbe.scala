@@ -44,21 +44,22 @@ object LatencyProbe {
     Files.createDirectories(Paths.get(base))
     val cfg = IndexConfig(numSegments = 256, blockSize = 128)
 
-    def session(batchSize: Int): SparkSession = {
+    // cache layout is owned by IndexHandle's explicit knobs; the session
+    // restart per probe exists only to drop the previous probe's cache
+    def session(): SparkSession = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       SparkSession.builder()
         .master(s"local[$cpus]")
         .appName("graft-latency-probe")
         .config("spark.sql.shuffle.partitions", cpus.toString)
-        .config("spark.sql.inMemoryColumnarStorage.batchSize", batchSize.toString)
         .config("spark.local.dir", s"$base/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }
 
     // stage corpus + index once, reused across probe runs
-    var spark = session(10000)
+    var spark = session()
     spark.sparkContext.setLogLevel("WARN")
     val idxDir = s"$base/idx-$docs"
     if (!Files.exists(Paths.get(idxDir, "snapshots"))) {
@@ -71,14 +72,21 @@ object LatencyProbe {
 
     val queries = graft.Bench.benchQueries
 
-    def probe(label: String, batchSize: Int, warmParts: Option[Int]): Unit = {
+    def probe(tag: String, batchSize: Int, warmParts: Option[Int]): Unit = {
       spark.stop()
-      spark = session(batchSize)
+      spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val clock = new JobClock
       spark.sparkContext.addSparkListener(clock)
+      // knobs passed EXPLICITLY (the handle owns the batch-size conf now,
+      // so a session-level setting would silently not apply); the label
+      // reports the partition count the handle ACTUALLY uses, so env
+      // overrides of GRAFT_PROBE_CPUS can't make rows lie
+      val parts = warmParts.getOrElse(
+        math.max(1, math.min(cfg.numSegments, cpus / 2)))
+      val label = s"$tag(batch=$batchSize,parts=$parts)"
       val handle = new IndexHandle(spark, idxDir, warm = true,
-        warmPartitions = warmParts)
+        warmPartitions = warmParts, cacheBatchSize = batchSize)
       queries.foreach(q => handle.topK(q, 10)) // warm JIT + url caches
       clock.reset()
       val lat = queries.map { q =>
@@ -95,13 +103,17 @@ object LatencyProbe {
       handle.close()
     }
 
-    probe("current(batch=10k,parts=32)", 10000, None)
-    probe("batch=1k,parts=32", 1000, None)
-    probe("batch=100,parts=32", 100, None)
-    probe("batch=10k,parts=8", 10000, Some(8))
-    probe("batch=1k,parts=8", 1000, Some(8))
-    probe("batch=1k,parts=16", 1000, Some(16))
-    probe("batch=100,parts=16", 100, Some(16))
+    // first config repeated last: JVM-wide JIT warms across probes, so the
+    // first row is systematically slow — compare the two copies to gauge
+    // that bias before reading the middle rows
+    probe("old-default", 10000, Some(cpus))
+    probe("sweep", 1000, Some(cpus))
+    probe("sweep", 100, Some(cpus))
+    probe("sweep", 10000, Some(math.max(1, cpus / 4)))
+    probe("sweep", 1000, Some(math.max(1, cpus / 4)))
+    probe("new-default", 1000, None)
+    probe("sweep", 100, Some(math.max(1, cpus / 2)))
+    probe("old-default-repeat", 10000, Some(cpus))
 
     spark.stop()
   }

@@ -77,6 +77,23 @@ class IndexSearchSpec extends SparkSuite {
     assert(artifact.toSet === fromDict)
     assert(snap.suggestRows === artifact.length.toLong)
 
+    // the serving API: top-k by (cf desc, term asc) per fragment, equal to
+    // a driver-side recompute over the artifact rows; out-of-range
+    // fragments empty; missing-artifact handles fail loudly
+    val handle = new graft.search.IndexHandle(spark, dir, warm = false)
+    val byGram = artifact.groupBy(_._1)
+    byGram.keys.take(20).foreach { g =>
+      val expect = byGram(g).map { case (_, t, cf) => (t, cf) }
+        .sortBy { case (t, cf) => (-cf, t) }.take(5).toSeq
+      assert(handle.suggest(g, 5).toSeq === expect, s"gram: $g")
+      assert(handle.suggest(g, 5).toSeq === expect, s"gram memo: $g") // cached path
+    }
+    assert(handle.suggest("abc", 5).isEmpty)      // < minGram
+    assert(handle.suggest("a" * 11, 5).isEmpty)   // > maxGram
+    val noArtifact = new graft.search.IndexHandle(spark, indexDir, warm = false)
+    val e = intercept[IllegalArgumentException](noArtifact.suggest("data", 3))
+    assert(e.getMessage.contains("suggest"))
+
     // tombstones leave the artifact alone (ES semantics: suggest fields
     // don't see deletes until merge); purge REBUILDS it from the new
     // termdict, and vacuum never touches the referenced copy
