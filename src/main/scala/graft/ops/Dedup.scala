@@ -216,14 +216,12 @@ object Dedup {
     * Scale ceiling, stated honestly: within one 16-bit band bucket the
     * self-join is quadratic — ~(n/2^16)^2 candidate pairs per band under
     * uniform hashing, so at 10^10 docs this banding floods. The standard
-    * escalations, in order: (a) split 64 bits into MORE, narrower tables
-    * over a wider fingerprint (e.g. 6x/7x blocks of a 64-bit hash catching
-    * Hamming<=3 via any-2-block matches — Manku, Jain, Sarma, WWW'07 —
-    * which raises the bucket key to 21-32 bits and divides collision volume
-    * by ~2^5..2^16 per table), or (b) switch families: [[minhashLshPairs]]
-    * bounds candidates by tunable bands x rows and is the wired 100TB path
-    * for high-dup corpora. This 4x16 config is right for corpus sizes up to
-    * ~10^8 where its single narrow shuffle wins. */
+    * escalations, in order: (a) [[simhashPairsWide]] — the in-repo Manku
+    * 6-block/3-match banding with 31-33-bit bucket keys, identical output,
+    * collision volume /2^15 at 5x the replication; (b) switch families:
+    * [[minhashLshPairs]] bounds candidates by tunable bands x rows and is
+    * the wired 100TB path for high-dup corpora. This 4x16 config is right
+    * for corpus sizes up to ~10^8 where its single narrow shuffle wins. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only to Hamming 3")
@@ -234,6 +232,53 @@ object Dedup {
         .bitwiseAND(lit(0xffffL)))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** [[simhashPairs]] escalated for web scale — the Manku/Jain/Sarma
+    * ("Detecting near-duplicates for web crawling", WWW'07) wide-banding
+    * scheme: the 64-bit signature splits into SIX blocks
+    * (11,11,11,11,10,10 bits); a pair within Hamming 3 differs in at most
+    * 3 blocks, so at least 3 of the 6 match — bucket on every C(6,3) = 20
+    * block-triple. EXACTLY the same output as simhashPairs (recall is
+    * pigeonhole-exact both ways, the Hamming verify is identical —
+    * DedupSpec pins them equal); the difference is candidate volume:
+    * bucket keys are 31-33 bits instead of 16, so uniform-hash collision
+    * volume per table drops from n²/2¹⁶ to n²/2³¹ at the price of 20×
+    * (vs 4×) row replication — the right side of that trade everywhere
+    * beyond ~10⁸ docs. */
+  def simhashPairsWide(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "6-block/3-match banding guarantees recall only to Hamming 3")
+    // block b covers bits [offsets(b), offsets(b+1))
+    val offsets = Array(0, 11, 22, 33, 44, 54, 64)
+    val combos: Array[Array[Int]] =
+      (0 until 6).combinations(3).map(_.toArray).toArray
+    val keyUdf = udf { (sh: Long, comboIdx: Int) =>
+      val c = combos(comboIdx)
+      var key = 0L
+      var i = 0
+      while (i < 3) {
+        val b = c(i)
+        val width = offsets(b + 1) - offsets(b)
+        val block = (sh >>> offsets(b)) & ((1L << width) - 1)
+        key = (key << width) | block
+        i += 1
+      }
+      key
+    }
+    val hashed = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(combos.length - 1))).as("combo"))
+      .withColumn("key", keyUdf(col("sh"), col("combo")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))

@@ -99,4 +99,24 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.simhash64("a b c") === Dedup.simhash64("a b c"))
     assert(Dedup.simhash64("a b c") !== Dedup.simhash64("x y z"))
   }
+
+  test("wide (Manku 6-block) simhash banding == 4x16 banding, exactly") {
+    // both schemes are pigeonhole-exact at Hamming <= 3, so their outputs
+    // must be IDENTICAL row sets — the wide plan only changes candidate
+    // volume, never the answer
+    val narrow = Dedup.simhashPairs(docs, "id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val wide = Dedup.simhashPairsWide(docs, "id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wide === narrow)
+    assert(narrow.nonEmpty) // the planted exact dups guarantee pairs exist
+    // brute-force ground truth on the driver over all signature pairs
+    val sigs = docs.select(col("id"), Dedup.simhashUdf(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(narrow === brute)
+  }
 }
