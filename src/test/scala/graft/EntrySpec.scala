@@ -14,6 +14,10 @@ class EntrySpec extends SparkSuite {
     val qs = SparkEntry.queries.keySet
     val extra = SparkEntry.oracleSql.keySet.diff(qs)
     assert(extra.isEmpty, s"oracle without query: $extra")
+    // the current contract is stronger: EVERY query is independently
+    // oracled (no rows-only checks left) — keep it that way
+    val unoracled = qs.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled.isEmpty, s"query without oracle: $unoracled")
   }
 
   test("every query runs on sf0.001") {

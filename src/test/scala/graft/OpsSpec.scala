@@ -252,6 +252,37 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("OWL DAG ancestorPaths: randomized DAGs vs brute force (fuzz)") {
+    import graft.ops.Ontology
+    // random layered DAGs, acyclic by construction (parents strictly
+    // smaller); <=2 parents and 60 nodes bound the path count
+    val rnd = new scala.util.Random(4242)
+    (1 to 5).foreach { round =>
+      val n = 30 + rnd.nextInt(30)
+      val parentMap: Map[Long, List[Long]] = (2 to n).map { i =>
+        val np = 1 + rnd.nextInt(2)
+        val ps = (1 to np).map(_ => 1 + rnd.nextInt(i - 1)).distinct
+          .map(_.toLong).toList
+        i.toLong -> ps
+      }.toMap
+      val edges = parentMap.toSeq
+        .flatMap { case (id, ps) => ps.map(p => (id, p)) }
+        .toDF("id", "parent")
+      def brute(i: Long): List[List[Long]] = parentMap.get(i) match {
+        case None => List(Nil) // root
+        case Some(ps) => ps.flatMap(p => brute(p).map(_ :+ p))
+      }
+      val expect = (2L to n.toLong).flatMap(i =>
+        brute(i).map(p => (i, p))).toSet
+      val managed = Ontology.ancestorPathsManaged(edges)
+      val got = managed.df.as[(Long, Seq[Long])].collect()
+        .map { case (id, p) => (id, p.toList) }
+      assert(got.length === got.toSet.size, s"round $round: duplicate paths")
+      assert(got.toSet === expect, s"round $round (n=$n)")
+      managed.release()
+    }
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)
