@@ -248,6 +248,12 @@ object SparkEntry {
     "q48_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    // the Manku 6-block/3-match wide banding — pigeonhole-exact like the
+    // 4x16 scheme, so the SAME oracle applies; running both keeps the two
+    // plans' equality under the independent DuckDB check, not just the spec
+    "q50_simhash_pairs_wide" -> ((s, d) =>
+      Dedup.simhashPairsWide(t(s, d, "documents"), "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "q16_embedding_neardup" -> ((s, d) =>
       SimSearch.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
 
@@ -675,6 +681,19 @@ object SparkEntry {
     // all qualifying pairs and the oracle may band too (keeping its join
     // O(collisions), not O(n^2)).
     "q48_simhash_pairs" ->
+      s"""$SimhashCte,
+         bands AS (SELECT doc_id, sh, b.range AS band,
+                     (sh >> CAST(b.range * 16 AS INTEGER)) & 65535::UBIGINT AS key
+                   FROM v, range(0, 4) b),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.sh AS sh_a, b.sh AS sh_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+    // identical output contract to q48 (both bandings are recall-exact at
+    // Hamming<=3), so the oracle is the same recomputation
+    "q50_simhash_pairs_wide" ->
       s"""$SimhashCte,
          bands AS (SELECT doc_id, sh, b.range AS band,
                      (sh >> CAST(b.range * 16 AS INTEGER)) & 65535::UBIGINT AS key
