@@ -308,11 +308,14 @@ object SparkEntry {
     // back with the real StAX parser — unescape∘escape must be identity,
     // and the oracle simply reads the original columns. Rows whose lang/
     // source are null (concat would null-propagate the whole xml) or carry
-    // C0 controls (xmlEscape strips them, breaking the identity) are
-    // excluded SYMMETRICALLY on both sides — the driver corpus has none,
-    // so the filter is an invariant guard, not a row change.
+    // identity-breaking controls are excluded SYMMETRICALLY on both sides
+    // — the driver corpus has none, so the filter is an invariant guard,
+    // not a row change. The class is \x00-\x08 and \x0B-\x1F: tab/LF
+    // round-trip; CR does NOT (xmlEscape keeps it but XML 1.0 parsers
+    // MUST normalize CR to LF), so it is excluded alongside the chars
+    // xmlEscape strips.
     "q45_xml_roundtrip" -> ((s, d) => {
-      val c0 = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+      val c0 = "[\\x00-\\x08\\x0B-\\x1F]"
       val docs = t(s, d, "documents")
         .filter(col("lang").isNotNull && col("source").isNotNull &&
           !col("lang").rlike(c0) && !col("source").rlike(c0))
@@ -680,30 +683,11 @@ object SparkEntry {
     // touch at most 3 of the 4 16-bit bands (pigeonhole), so candidates ==
     // all qualifying pairs and the oracle may band too (keeping its join
     // O(collisions), not O(n^2)).
-    "q48_simhash_pairs" ->
-      s"""$SimhashCte,
-         bands AS (SELECT doc_id, sh, b.range AS band,
-                     (sh >> CAST(b.range * 16 AS INTEGER)) & 65535::UBIGINT AS key
-                   FROM v, range(0, 4) b),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                         a.sh AS sh_a, b.sh AS sh_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+    "q48_simhash_pairs" -> SimhashPairsSql,
     // identical output contract to q48 (both bandings are recall-exact at
-    // Hamming<=3), so the oracle is the same recomputation
-    "q50_simhash_pairs_wide" ->
-      s"""$SimhashCte,
-         bands AS (SELECT doc_id, sh, b.range AS band,
-                     (sh >> CAST(b.range * 16 AS INTEGER)) & 65535::UBIGINT AS key
-                   FROM v, range(0, 4) b),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                         a.sh AS sh_a, b.sh AS sh_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+    // Hamming<=3), so the oracle is the SAME recomputation — one shared
+    // val, so a banding/verify change cannot silently miss one copy
+    "q50_simhash_pairs_wide" -> SimhashPairsSql,
     // full LSH recomputation: md5-derived hyperplanes (identical doubles to
     // SimSearch.hyperplane), sign buckets per (table, plane), candidate
     // bucket join, exact cosine re-rank — the oracle runs the ENTIRE ANN
@@ -853,8 +837,8 @@ object SparkEntry {
     "q45_xml_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE lang IS NOT NULL AND source IS NOT NULL
-           AND NOT regexp_matches(lang, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
-           AND NOT regexp_matches(source, '[\x00-\x08\x0B\x0C\x0E-\x1F]')""",
+           AND NOT regexp_matches(lang, '[\x00-\x08\x0B-\x1F]')
+           AND NOT regexp_matches(source, '[\x00-\x08\x0B-\x1F]')""",
     // transitive ancestor closure recomputed with a recursive CTE; d DESC
     // puts the topmost ancestor first, matching the engine's root-first
     // chain order
@@ -992,23 +976,7 @@ object SparkEntry {
                     JOIN sums sb ON sb.doc_id = id_b
          WHERE round(sqrt(iw/(sa.ws + sb.ws - iw)), 6) >= 0.9""",
     "q21_bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
-                        FROM documents),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
-                GROUP BY 1,2),
-         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
-                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
-                GROUP BY 1),
-         sc AS (SELECT tf.doc_id,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
-                    AS score
-                FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
-                GROUP BY 1)
+      s"""$Bm25ScoreCte
          SELECT doc_id, round(score,6) AS score FROM
            (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
     // NB: the top-20 cuts order by the UNROUNDED score (inner query), exactly
@@ -1175,26 +1143,11 @@ object SparkEntry {
          SELECT doc_id, round(score,6) AS score FROM
            (SELECT doc_id, score FROM sc ORDER BY score DESC, isnew, doc_id
             LIMIT 20)""",
-    // q49: the q21 BM25 top-20 joined back to the corpus for the
-    // `_source includes` fields — the oracle for fetchSource's decoration
+    // q49: the q21 BM25 top-20 (same shared CTE) joined back to the corpus
+    // for the `_source includes` fields — the oracle for fetchSource's
+    // decoration
     "q49_fetch_source" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
-                        FROM documents),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
-                GROUP BY 1,2),
-         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
-                WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
-                GROUP BY 1),
-         sc AS (SELECT tf.doc_id,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
-                    AS score
-                FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
-                GROUP BY 1),
+      s"""$Bm25ScoreCte,
          top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)
          SELECT t.doc_id, round(t.score, 6) AS score, d.lang, d.source, d.n_chars
          FROM top t JOIN documents d USING (doc_id)""",
@@ -1226,6 +1179,44 @@ object SparkEntry {
                CAST(sum(CASE WHEN bit=1 THEN (1::UBIGINT << b)
                              ELSE 0::UBIGINT END) AS UBIGINT) AS sh
              FROM bits GROUP BY 1)""".stripMargin
+
+  /** Band join + XOR bit_count Hamming verify over [[SimhashCte]]'s
+    * signatures — the shared oracle of q48 (4x16 banding) and q50 (Manku
+    * wide banding): both plans are pigeonhole-exact at Hamming<=3, so
+    * their output contract is identical. */
+  private lazy val SimhashPairsSql =
+    s"""$SimhashCte,
+       bands AS (SELECT doc_id, sh, b.range AS band,
+                   (sh >> CAST(b.range * 16 AS INTEGER)) & 65535::UBIGINT AS key
+                 FROM v, range(0, 4) b),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sh AS sh_a, b.sh AS sh_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""
+
+  /** q21's whole BM25 scoring pipeline (toks -> dl -> st -> tf -> df ->
+    * sc) over `documents`, shared verbatim with q49's decorated variant so
+    * a scoring-constant change cannot diverge the two oracles. */
+  private lazy val Bm25ScoreCte =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                      FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+              GROUP BY 1,2),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
+              GROUP BY 1),
+       sc AS (SELECT tf.doc_id,
+                sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                     * tf.tf*2.2
+                     / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                  AS score
+              FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+              GROUP BY 1)"""
 
   private val JaccardSql =
     """WITH toks AS (

@@ -344,8 +344,12 @@ object IndexBuilder {
 
     // suggest artifact: sticky across append/resume — once an index was
     // built with suggest on, every later complete commit rebuilds it
-    // alongside the termdict it derives from
-    val wantSuggest = cfg.suggest || prior.exists(_.suggestDir.isDefined)
+    // alongside the termdict it derives from. Stickiness checks the WHOLE
+    // snapshot chain, not just the immediate prior: a crashed append's
+    // partial commit has suggestDir = None (only complete commits carry
+    // one), and resuming from it must not silently drop the artifact.
+    val wantSuggest = cfg.suggest ||
+      Snapshot.list(indexDir).exists(_.suggestDir.isDefined)
     val suggestRel =
       if (complete && wantSuggest) Some(f"suggest/snap-$snapId%05d") else None
     val suggestRows = suggestRel.map { rel => timed("suggest")(

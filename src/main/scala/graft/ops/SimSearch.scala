@@ -282,8 +282,15 @@ object SimSearch {
         var dot = 0.0
         var d = 0
         while (d < cv.length) { dot += v(d) * cv(d); d += 1 }
-        val cos = java.math.BigDecimal.valueOf(dot / (vn * centNorms(c)))
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+        // zero-norm vectors give NaN/Infinity, which BigDecimal.valueOf
+        // rejects — propagate the raw value instead (NaN sorts last under
+        // tuple ordering, so degenerate rows never win a cell)
+        val raw = dot / (vn * centNorms(c))
+        val cos =
+          if (java.lang.Double.isFinite(raw))
+            java.math.BigDecimal.valueOf(raw)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+          else raw
         scored(c) = (cos, centIds(c))
         c += 1
       }

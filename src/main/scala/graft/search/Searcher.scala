@@ -179,6 +179,15 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     // for three needed rows. 1k keeps batch decode proportional to what
     // the query reads and tightens min/max term pruning 10x (measured
     // ~214 -> ~128 ms p50 at 32 partitions, LatencyProbe).
+    //
+    // Standard Spark cache-sharing caveat, stated so the knobs don't
+    // overpromise: two warm handles on the same index + session +
+    // partition count produce the SAME logical plan, so the second reuses
+    // the first's cache — its cacheBatchSize is then a no-op (different
+    // warmPartitions values do split caches), and close() on EITHER
+    // handle unpersists the shared cache for both. One warm handle per
+    // (session, index) is the intended deployment (LatencyProbe restarts
+    // the session per probe for exactly this reason).
     cacheBatchSize: Int = 1000) {
   import spark.implicits._
 

@@ -113,6 +113,21 @@ class IndexSearchSpec extends SparkSuite {
     assert(afterVacuum === purgedDict)
     // the pre-purge suggest dir is unreferenced now — vacuum reclaimed it
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/${snap.suggestDir.get}")))
+
+    // a crashed append's PARTIAL commit carries no suggestDir; resuming
+    // must still rebuild the artifact — stickiness reads the snapshot
+    // CHAIN, not just the immediate (incomplete) prior
+    import org.apache.spark.sql.functions.concat_ws
+    val extra = Corpus.pages(spark, 40, seed = 9, vocabSize = 200, medianLen = 20)
+      .toDF().withColumn("url", concat_ws("", org.apache.spark.sql.functions.lit("x-"), col("url")))
+    IndexBuilder.append(spark, extra, dir,
+      simulateOnlySegments = Some(Set(4, 5)))
+    assert(Snapshot.latest(dir).get.suggestDir.isEmpty) // incomplete commit
+    IndexBuilder.append(spark, extra, dir, resume = true)
+    val resumed = Snapshot.latest(dir).get
+    assert(resumed.isComplete)
+    assert(resumed.suggestDir.isDefined)
+    assert(resumed.suggestRows > 0L)
   }
 
   test("fetchSource (_source includes): hit decoration with a pruned corpus scan") {
