@@ -344,12 +344,16 @@ object IndexBuilder {
 
     // suggest artifact: sticky across append/resume — once an index was
     // built with suggest on, every later complete commit rebuilds it
-    // alongside the termdict it derives from. Stickiness checks the WHOLE
-    // snapshot chain, not just the immediate prior: a crashed append's
-    // partial commit has suggestDir = None (only complete commits carry
-    // one), and resuming from it must not silently drop the artifact.
+    // alongside the termdict it derives from. A crashed append's PARTIAL
+    // commit has suggestDir = None (only complete commits carry one), so
+    // resuming from one must consult the chain — but ONLY then: a
+    // complete prior is unambiguous, and walking the whole snapshot log
+    // on every commit would make a long-lived streaming index's commit
+    // cost O(total snapshots).
     val wantSuggest = cfg.suggest ||
-      Snapshot.list(indexDir).exists(_.suggestDir.isDefined)
+      prior.exists(_.suggestDir.isDefined) ||
+      (prior.exists(!_.isComplete) &&
+        Snapshot.list(indexDir).exists(_.suggestDir.isDefined))
     val suggestRel =
       if (complete && wantSuggest) Some(f"suggest/snap-$snapId%05d") else None
     val suggestRows = suggestRel.map { rel => timed("suggest")(
