@@ -617,6 +617,28 @@ object IndexBuilder {
     compacted
   }
 
+  /** Iceberg-style rollback: re-point LATEST at the state of snapshot
+    * `toId` by committing a COPY of it as a new snapshot on top of the
+    * current chain — history is preserved (every old snapshot file stays
+    * readable for time travel), the abandoned snapshots' data dirs become
+    * unreferenced, and a later [[vacuum]] reclaims them. The remediation
+    * for an incomplete generation that cannot be safely resumed (e.g. a
+    * streaming restart under a NEW checkpoint lineage — see
+    * graft.streaming.IndexStream): roll back to the last complete
+    * snapshot, then let the stream re-apply from its own source. */
+  def rollback(indexDir: String, toId: Int): SnapshotMeta = {
+    val cur = Snapshot.latest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
+    if (cur.id == toId) return cur
+    val target = Snapshot.at(indexDir, toId)
+      .getOrElse(throw new IllegalStateException(
+        s"rollback: no snapshot $toId under $indexDir"))
+    require(target.isComplete, s"rollback target $toId is not a complete snapshot")
+    val neu = target.copy(id = cur.id + 1, parent = cur.id)
+    Snapshot.commit(indexDir, neu)
+    neu
+  }
+
   /** Delete data/termdict dirs not referenced by the LATEST snapshot (the
     * vacuum step after compaction; snapshots themselves are kept as the
     * lineage log). Returns the deleted relative paths. Readers holding an

@@ -57,14 +57,17 @@ object Codecs {
     }
     def int(): Int = {
       skipWs()
-      var v = 0
+      // accumulate in Long: an Int accumulator can WRAP past the bound
+      // check (e.g. "4294967297" lands on 1 and decodes with bogus
+      // dimensions instead of failing the hostile-header contract)
+      var v = 0L
       var any = false
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
         v = v * 10 + (b(i) - '0'); i += 1; any = true
-        if (v > 1000000000) fail("header integer out of range")
+        if (v > 1000000000L) fail("header integer out of range")
       }
       if (!any) fail("expected integer")
-      v
+      v.toInt
     }
     if (b.length - i < 2 || b(i) != 'P' || b(i + 1) != '6')
       fail("not a P6 stream")

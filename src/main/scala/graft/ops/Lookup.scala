@@ -19,17 +19,29 @@ import org.apache.spark.sql.functions._
 object Lookup {
 
   /** Left-join `facts` to `dim` on factKey == dimKey. Output keeps every
-    * fact row, adds dim columns (null when unmatched) and `n_hits`
-    * (0 = miss, 1 = clean, >1 would be ambiguous). */
+    * fact row, adds the dim PAYLOAD columns (all dim columns except
+    * `dimKey`; null when unmatched) and `n_hits` (0 = miss, 1 = clean,
+    * >1 would be ambiguous). The dim key column itself is not re-emitted:
+    * a fact column sharing its name must survive untouched (dropping the
+    * dim side by NAME would take the fact's copy with it and null the
+    * join key on every miss row). When the fact table has a column named
+    * `dimKey`, pass `factKey` frame-qualified (`facts("key")`) — a bare
+    * `col("key")` is ambiguous at join resolution. */
   def ambiguityChecked(
       facts: DataFrame,
       factKey: Column,
       dim: DataFrame,
       dimKey: String,
       strict: Boolean = true): DataFrame = {
-    val counted = dim.groupBy(col(dimKey)).agg(
-      count(lit(1)).as("n_hits"),
-      min(struct(dim.columns.map(col): _*)).as("_dimrow")) // min = deterministic pick
+    // payload-only struct: dimKey is the group key (constant per group),
+    // so excluding it leaves the min-pick ordering unchanged
+    val payload = dim.columns.filterNot(_ == dimKey)
+    val counted =
+      if (payload.isEmpty) // membership-count lookup: key-only dim
+        dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n_hits"))
+      else dim.groupBy(col(dimKey)).agg(
+        count(lit(1)).as("n_hits"),
+        min(struct(payload.map(col): _*)).as("_dimrow")) // min = deterministic pick
     if (strict) {
       // fail-fast probe (eager action). Deliberately NOT persisted: a
       // persist here would outlive this call — the returned join is lazy,
@@ -43,9 +55,12 @@ object Lookup {
         throw new IllegalStateException(
           s"ambiguous lookup: key '${dup(0).get(0)}' has multiple $dimKey hits")
     }
-    facts.join(counted, factKey === counted(dimKey), "left")
+    // drop the dim-side key BY REFERENCE — .drop(dimKey) by name would
+    // also remove a same-named fact column
+    val joined = facts.join(counted, factKey === counted(dimKey), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .drop(dimKey)
-      .select(col("*"), col("_dimrow.*")).drop("_dimrow")
+      .drop(counted(dimKey))
+    if (payload.isEmpty) joined
+    else joined.select(col("*"), col("_dimrow.*")).drop("_dimrow")
   }
 }

@@ -98,30 +98,41 @@ object Ontology {
     var (anc, held) = checkpointTracked(
       edges.select(col("id").cast("long").as("id"),
         array(col("parent").cast("long")).as("anc")))
-    if (anc.isEmpty) return PinnedResult(anc, () => free(held))
-    var total = anc.agg(sum(size(col("anc")))).head().getLong(0)
-    var round = 0
-    var done = false
-    while (!done) {
-      require(round < maxRounds,
-        s"$op: no fixpoint after $maxRounds doubling rounds — cycle in edges?")
-      val m = anc.select(col("id").as("_jid"), col("anc").as("_janc"))
-      val (next, nextHeld) = checkpointTracked(
-        anc.withColumn("_top", element_at(col("anc"), 1))
-          .join(m, col("_top") === col("_jid"), "left")
-          .select(col("id"),
-            when(col("_janc").isNotNull, concat(col("_janc"), col("anc")))
-              .otherwise(col("anc")).as("anc")))
-      val t2 = next.agg(sum(size(col("anc")))).head().getLong(0)
-      done = t2 == total
-      total = t2
-      free(held)
-      held = nextHeld
-      anc = next
-      round += 1
+    // any failure inside the loop (cycle guard, task error) must free the
+    // round currently pinned — these blocks live OUTSIDE the cache
+    // manager and would otherwise leak for the session's lifetime
+    try {
+      if (anc.isEmpty) return PinnedResult(anc, () => free(held))
+      var total = anc.agg(sum(size(col("anc")))).head().getLong(0)
+      var round = 0
+      var done = false
+      while (!done) {
+        require(round < maxRounds,
+          s"$op: no fixpoint after $maxRounds doubling rounds — cycle in edges?")
+        val m = anc.select(col("id").as("_jid"), col("anc").as("_janc"))
+        val (next, nextHeld) = checkpointTracked(
+          anc.withColumn("_top", element_at(col("anc"), 1))
+            .join(m, col("_top") === col("_jid"), "left")
+            .select(col("id"),
+              when(col("_janc").isNotNull, concat(col("_janc"), col("anc")))
+                .otherwise(col("anc")).as("anc")))
+        val t2 =
+          try next.agg(sum(size(col("anc")))).head().getLong(0)
+          catch { case e: Throwable => free(nextHeld); throw e }
+        done = t2 == total
+        total = t2
+        free(held)
+        held = nextHeld
+        anc = next
+        round += 1
+      }
+      val finalHeld = held
+      PinnedResult(anc, () => free(finalHeld))
+    } catch {
+      case e: Throwable =>
+        free(held)
+        throw e
     }
-    val finalHeld = held
-    PinnedResult(anc, () => free(finalHeld))
   }
 
   /** Root-first ancestor chain per node: for edges (id, parent) forming a

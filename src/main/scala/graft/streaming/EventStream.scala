@@ -45,21 +45,41 @@ object EventStream {
 
   /** Stateful sessionization with flatMapGroupsWithState (streaming
     * analogue of q24: a >30min event-time gap opens a new session). Emits
-    * one update row per user per micro-batch. */
+    * one update row per user per micro-batch.
+    *
+    * Cross-check contract vs batch q24: identical when events arrive in
+    * event-time order across micro-batches (in-batch disorder is sorted
+    * out). A LATE event landing in an earlier session's window is counted
+    * into the CURRENT session (streaming cannot retroactively re-bucket
+    * without retraction support) but never rewinds the gap high-water
+    * mark — so lateness can only under-count session splits relative to
+    * the batch answer, never invent splits the batch ordering lacks. */
   def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionUpdate] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // EXACT event-time micros (Spark timestamps are µs-precision;
+          // getTime*1000 would truncate sub-ms and misclassify a gap
+          // sitting exactly on the 30-min boundary vs batch q24's
+          // unix_micros), used for both the in-batch sort and the gap
+          def us(e: Event): Long = {
+            val i = e.ts.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          val sorted = rows.toSeq.sortBy(e => (us(e), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val u = us(e)
             val newSession = st.lastUs == Long.MinValue ||
-              us - st.lastUs > 1800L * 1000000L
+              u - st.lastUs > 1800L * 1000000L
+            // lastUs is a high-water mark, NOT the last-seen value: a late
+            // cross-batch event (negative gap) must not rewind it, or the
+            // next on-time event would measure its gap from the straggler
+            // and open a session the batch q24 ordering never sees
             st = SessionState(st.sessions + (if (newSession) 1 else 0),
-              st.events + 1, us)
+              st.events + 1, math.max(st.lastUs, u))
           }
           state.update(st)
           Iterator.single(SessionUpdate(userId, st.sessions, st.events))

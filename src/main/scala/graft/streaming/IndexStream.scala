@@ -35,22 +35,72 @@ object IndexStream {
 
   /** Shared None/incomplete-snapshot dispatch: fresh build, deterministic
     * resume of a crashed generation, or the stream-specific complete-index
-    * action. Both streams' crash behavior lives here, once. */
+    * action. Both streams' crash behavior lives here, once.
+    *
+    * Resume is only sound when `pages` IS the batch whose append crashed.
+    * Within one checkpoint lineage Structured Streaming guarantees that
+    * (it replays the unacknowledged batch verbatim), but after a cleared/
+    * new checkpointDir the renumbered batch 0 is typically the whole
+    * source — completing the crashed generation with it would commit a
+    * silently mixed generation and, on the recrawl path, skip the
+    * tombstoning of recaptured urls. `resumeSafe` carries the caller's
+    * evidence; when false the dispatch fails loudly with the rollback
+    * remediation instead of corrupting the index. */
   private def buildOrResume(spark: SparkSession, indexDir: String,
-      cfg: IndexConfig, pages: DataFrame)(
+      cfg: IndexConfig, pages: DataFrame,
+      resumeSafe: SnapshotMeta => Boolean)(
       whenComplete: SnapshotMeta => Unit): Unit =
     Snapshot.latest(indexDir) match {
       case None =>
         IndexBuilder.build(spark, pages, indexDir, cfg)
       case Some(p) if !p.isComplete =>
+        if (!resumeSafe(p)) {
+          val lastComplete = Snapshot.list(indexDir).filter(_.isComplete)
+            .lastOption.map(_.id)
+          throw new IllegalStateException(
+            s"index $indexDir has an incomplete top generation that this " +
+              "batch cannot safely complete (different checkpoint lineage " +
+              "or batch content). Either restart the stream with its " +
+              "ORIGINAL checkpointDir, or roll back first: " +
+              lastComplete.map(id => s"IndexBuilder.rollback(indexDir, $id)")
+                .getOrElse("no complete snapshot exists - delete the index dir"))
+        }
         // crash mid-commit: finish the SAME batch's generation — the build
         // is deterministic, so resume produces the bytes the first attempt
         // would have (gen 0 resumes via build, later gens via append)
-        if (p.generations == 1)
+        else if (p.generations == 1)
           IndexBuilder.build(spark, pages, indexDir, cfg, resume = true)
         else IndexBuilder.append(spark, pages, indexDir, resume = true)
       case Some(p) => whenComplete(p)
     }
+
+  /** Content evidence that `pages` is the crashed generation's own batch:
+    * segment content is a pure function of the batch (urls hash-route to
+    * segments, immutably), so ONE committed segment of the incomplete
+    * generation must hold EXACTLY the batch urls routing to it. Checked
+    * with two anti-joins on that segment (executor-side; only counts cross
+    * to the driver). A foreign batch fails one direction with overwhelming
+    * probability; the degenerate both-empty case is consistent by
+    * definition (that segment constrains neither side). */
+  private[graft] def resumeMatchesBatch(spark: SparkSession, indexDir: String,
+      snap: SnapshotMeta, pages: DataFrame): Boolean = {
+    import spark.implicits._
+    val P = snap.numSegments
+    val topGen = snap.generations - 1
+    val committedTop = snap.completedSegIds.filter(_ >= topGen * P)
+    if (committedTop.isEmpty) return true // nothing committed constrains the batch
+    val seg = committedTop.min
+    val segUrls = spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .filter(col("segId") === seg && col("term") === IndexBuilder.TermUrls)
+      .as[graft.index.PostingRow]
+      .flatMap(r => Varint.decodeStrings(r.tfBytes))
+      .toDF("url")
+    val batchSegUrls = pages.select("url")
+      .filter(graft.plans.GraftFunctions.segment_of(col("url"), P) === seg - topGen * P)
+    segUrls.join(batchSegUrls, Seq("url"), "left_anti").isEmpty &&
+      batchSegUrls.join(segUrls, Seq("url"), "left_anti").isEmpty
+  }
 
   /** True iff `url` is already a document of the latest snapshot's TOP
     * generation — one pushed-down parquet read of that generation's url
@@ -81,7 +131,9 @@ object IndexStream {
   def applyBatch(spark: SparkSession, indexDir: String, cfg: IndexConfig)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    buildOrResume(spark, indexDir, cfg, batch) { _ =>
+    // no side ledger here, so resume safety rests on content evidence
+    buildOrResume(spark, indexDir, cfg, batch,
+        p => resumeMatchesBatch(spark, indexDir, p, batch)) { _ =>
       val firstUrl = batch.select("url").head().getString(0)
       if (!inTopGeneration(spark, indexDir, firstUrl))
         IndexBuilder.append(spark, batch, indexDir)
@@ -111,7 +163,12 @@ object IndexStream {
     * cleared checkpointDir renumbers batches from 0, and skipping those
     * against an old lineage's ids would silently drop fresh data. A
     * lineage change resets the ledger; the new lineage then re-processes
-    * the source, and re-upserting already-indexed content is safe (below).
+    * the source, and re-upserting already-indexed content is safe (below)
+    * — EXCEPT when the old lineage died mid-append: completing that
+    * incomplete generation with foreign batch content would mix
+    * generations, so the dispatch demands same-lineage or content
+    * evidence and otherwise fails loudly with the
+    * `IndexBuilder.rollback` remediation.
     *
     * Crash windows (at-least-once application, exactly-once ids/search
     * MEMBERSHIP): a crash between the upsert's commits and the ledger
@@ -158,17 +215,31 @@ object IndexStream {
     val scoped =
       if (langs.isEmpty) batch
       else batch.filter(col("lang").isin(langs.toSeq: _*))
+    // persisted: the pipeline (HTML-extract UDF + latest-per-url window)
+    // otherwise re-executes for the isEmpty probe, the upsert's
+    // tombstone-match join AND the append scan — 3x the extraction cost
+    // per micro-batch on the streaming hot path
     val processed = graft.corpus.Ingest
       .latestPerUrl(graft.corpus.Ingest.extractValidate(scoped)._1)
       .select("url", "text")
-    // a batch emptied by lang scoping / validation must not commit a
-    // generation of empty segments (plus a full termdict rebuild) — but it
-    // IS acknowledged, so replays skip it
-    if (processed.isEmpty) { writeLedger(indexDir, lineage, batchId); return }
-    buildOrResume(spark, indexDir, cfg, processed) { _ =>
-      IndexBuilder.upsert(spark, processed, indexDir)
-    }
-    writeLedger(indexDir, lineage, batchId)
+      .persist()
+    try {
+      // a batch emptied by lang scoping / validation must not commit a
+      // generation of empty segments (plus a full termdict rebuild) — but
+      // it IS acknowledged, so replays skip it
+      if (processed.isEmpty) { writeLedger(indexDir, lineage, batchId); return }
+      // resume safety: a same-lineage ledger entry proves the crashed
+      // attempt belongs to THIS checkpoint lineage (Structured Streaming
+      // replays the unacknowledged batch verbatim); otherwise fall back
+      // to content evidence, which also covers a first-batch crash with
+      // no ledger yet
+      buildOrResume(spark, indexDir, cfg, processed,
+          p => lastBatchId(indexDir, lineage) >= 0 ||
+            resumeMatchesBatch(spark, indexDir, p, processed)) { _ =>
+        IndexBuilder.upsert(spark, processed, indexDir)
+      }
+      writeLedger(indexDir, lineage, batchId)
+    } finally processed.unpersist()
   }
 
   /** Start the streaming recrawl ingestion over a raw crawl directory

@@ -46,6 +46,9 @@ class CodecsSpec extends SparkSuite {
       Codecs.decodePpm("P6\n1 1\n255\r\n".getBytes ++ Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException]( // 10-digit dimension
       Codecs.decodePpm("P6\n1 12345678901\n255\n".getBytes))
+    intercept[IllegalArgumentException]( // 2^32+1: Int accumulator would
+      // WRAP to 1 and decode as a bogus 1-wide image instead of failing
+      Codecs.decodePpm("P6\n4294967297 1\n255\n".getBytes ++ Array[Byte](1, 2, 3)))
   }
 
   test("nearest-neighbor resize goldens") {

@@ -84,6 +84,42 @@ class IndexStreamSpec extends SparkSuite {
     assert(done.numDocs === 300)
   }
 
+  test("foreign batch cannot complete a crashed generation; rollback remediates") {
+    val (_, all) = stage()
+    val idxDir = Files.createTempDirectory("graft-istream-foreign").toString
+    val chunks = all.grouped(100).toSeq
+    IndexStream.applyBatch(spark, idxDir, cfg)(chunks(0).toDF("url", "text"), 0L)
+    val complete = Snapshot.latest(idxDir).get
+    // crash mid-append of chunk 1 (generation 1, segs 4..7; only 4,5 commit)
+    IndexBuilder.append(spark, chunks(1).toDF("url", "text"), idxDir,
+      simulateOnlySegments = Some(Set(4, 5)))
+    assert(!Snapshot.latest(idxDir).get.isComplete)
+    // a cleared-checkpoint restart feeds DIFFERENT content as its batch 0:
+    // completing the crashed generation with it would mix generations —
+    // the dispatch must refuse with the rollback remediation instead
+    val e = intercept[IllegalStateException](
+      IndexStream.applyBatch(spark, idxDir, cfg)(chunks(2).toDF("url", "text"), 0L))
+    assert(e.getMessage.contains("rollback"))
+    // remediation: roll back to the last complete snapshot (Iceberg-style
+    // copy commit), vacuum the orphaned partial generation, re-apply
+    IndexBuilder.rollback(idxDir, complete.id)
+    val rolled = Snapshot.latest(idxDir).get
+    assert(rolled.isComplete)
+    assert(rolled.generations === 1)
+    assert(rolled.numDocs === 100)
+    IndexBuilder.vacuum(idxDir)
+    IndexStream.applyBatch(spark, idxDir, cfg)(chunks(2).toDF("url", "text"), 1L)
+    val done = Snapshot.latest(idxDir).get
+    assert(done.isComplete && done.numDocs === 200)
+    // the SAME-batch resume path still passes the content evidence
+    IndexBuilder.append(spark, chunks(1).toDF("url", "text"), idxDir,
+      simulateOnlySegments = Some(Set(8, 9)))
+    assert(!Snapshot.latest(idxDir).get.isComplete)
+    IndexStream.applyBatch(spark, idxDir, cfg)(chunks(1).toDF("url", "text"), 2L)
+    assert(Snapshot.latest(idxDir).get.isComplete)
+    assert(Snapshot.latest(idxDir).get.numDocs === 300)
+  }
+
   test("inTopGeneration detects committed urls only") {
     val (_, all) = stage()
     val idxDir = Files.createTempDirectory("graft-istream-top").toString

@@ -300,6 +300,21 @@ class OpsSpec extends SparkSuite {
       .collect().sortBy(_._1)
     assert(got.toSeq === Seq((1L, "a", 1L), (2L, "b", 1L), (3L, null, 0L)))
 
+    // same-named key columns: the FACT's key must survive (drop-by-name
+    // would remove it and null the key on every miss row)
+    val sameName = Seq((1L, "k1"), (3L, "kX")).toDF("fid", "dk")
+    // frame-qualified key (bare col("dk") would be ambiguous in the join)
+    val gotSame = Lookup.ambiguityChecked(sameName, sameName("dk"), cleanDim, "dk")
+      .select("fid", "dk", "payload", "n_hits")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(gotSame.toSeq === Seq((1L, "k1", "a", 1L), (3L, "kX", null, 0L)))
+
+    // key-only dim: membership count, no payload expansion
+    val keyOnly = Lookup.ambiguityChecked(facts, col("fk"),
+        cleanDim.select("dk"), "dk")
+      .select("fid", "n_hits").as[(Long, Long)].collect().sortBy(_._1)
+    assert(keyOnly.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+
     val dupDim = Seq(("k1", "a"), ("k1", "a2"), ("k2", "b")).toDF("dk", "payload")
     val ex = intercept[IllegalStateException] {
       Lookup.ambiguityChecked(facts, col("fk"), dupDim, "dk")

@@ -72,6 +72,24 @@ class RecrawlStreamSpec extends SparkSuite {
     }
   }
 
+  test("incomplete generation + foreign lineage is refused, never mixed") {
+    val idxDir = Files.createTempDirectory("graft-rs-foreign").toString
+    IndexStream.refreshBatch(spark, idxDir, cfg)(crawl0.toDF(), 0L)
+    // crash mid-append of batch 1 under the original lineage
+    val processed = Ingest.latestPerUrl(
+      Ingest.extractValidate(crawl1.toDF())._1).select("url", "text")
+    IndexBuilder.append(spark, processed, idxDir,
+      simulateOnlySegments = Some(Set(4, 5)))
+    assert(!Snapshot.latest(idxDir).get.isComplete)
+    // restart under a CLEARED checkpoint: new lineage, batch 0 = the whole
+    // source — same-lineage evidence absent, content evidence fails (the
+    // committed half-generation holds only crawl1's urls) -> loud refusal
+    val e = intercept[IllegalStateException](
+      IndexStream.refreshBatch(spark, idxDir, cfg,
+        lineage = "fresh-ckpt")((crawl0 ++ crawl1).toDF(), 0L))
+    assert(e.getMessage.contains("rollback"))
+  }
+
   test("acknowledged replay is a no-op; crash mid-append resumes deterministically") {
     val idxDir = Files.createTempDirectory("graft-rs-replay").toString
     IndexStream.refreshBatch(spark, idxDir, cfg)(crawl0.toDF(), 0L)
