@@ -78,12 +78,17 @@ object Ingest {
       if (langs.isEmpty) rawCrawl
       else rawCrawl.filter(col("lang").isin(langs.toSeq: _*))
     val (valid, _) = extractValidate(scoped)
-    val batch = latestPerUrl(valid).select("url", "text")
-    // a batch emptied by scoping/validation must not commit a generation of
-    // empty segments plus a full termdict rebuild
-    if (batch.isEmpty)
-      graft.index.Snapshot.latest(indexDir).getOrElse(
-        throw new IllegalStateException(s"no snapshot under $indexDir"))
-    else IndexBuilder.upsert(spark, batch, indexDir)
+    // persisted: the extract UDF + latest-per-url window otherwise
+    // re-execute for the isEmpty probe, upsert's tombstone-match join and
+    // the append scan — 3x the ingest cost per refresh
+    val batch = latestPerUrl(valid).select("url", "text").persist()
+    try {
+      // a batch emptied by scoping/validation must not commit a generation
+      // of empty segments plus a full termdict rebuild
+      if (batch.isEmpty)
+        graft.index.Snapshot.latest(indexDir).getOrElse(
+          throw new IllegalStateException(s"no snapshot under $indexDir"))
+      else IndexBuilder.upsert(spark, batch, indexDir)
+    } finally batch.unpersist()
   }
 }

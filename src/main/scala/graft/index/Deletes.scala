@@ -58,9 +58,11 @@ object Deletes {
         s"${h.snap.numDocs} docs exceeds that path - use a per-segment " +
         "match-enumeration sink")
     val k = h.snap.numDocs.toInt
-    val bySeg = h.search(q, k)
-      .groupBy(hit => (hit.docId >> IndexBuilder.SegShift).toInt)
-      .map { case (seg, hits) => seg -> hits.map(_.docId) }
+    // searchRaw: ids only — resolving urls for a corpus-sized match set
+    // would drag every matched segment's url table through the driver
+    val bySeg = h.searchRaw(q, k)
+      .groupBy { case (docId, _, _) => (docId >> IndexBuilder.SegShift).toInt }
+      .map { case (seg, hits) => seg -> hits.map(_._1) }
     deleteDocIds(spark, indexDir, bySeg)
   }
 

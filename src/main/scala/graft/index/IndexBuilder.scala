@@ -115,6 +115,11 @@ object IndexBuilder {
   def safeTerm(t: String): String =
     if (t.isEmpty || t.charAt(0) <= '\u0003') "\u0003" + t else t
 
+  /** Inverse of [[safeTerm]] for user-facing surfaces (suggest): strips
+    * one escape prefix so the internal marker char never leaks out. */
+  def unsafeTerm(t: String): String =
+    if (t.nonEmpty && t.charAt(0) == '\u0003') t.substring(1) else t
+
   /** [[safeTerm]] over a tf-map column (`term < "\u0004"` is exactly
     * "first char <= \u0003 or empty" under binary UTF-8 comparison). */
   def safeTermCol(tfmap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -384,9 +389,15 @@ object IndexBuilder {
     * Returns the row count (snapshot lineage metric). */
   private[index] def writeSuggest(
       spark: SparkSession, termdictAbs: String, outAbs: String): Long = {
-    val ng = udf((t: String) => Analyzer.ngrams(t).distinct)
+    // termdict terms carry the safeTerm escape; the artifact is a
+    // USER-FACING surface, so both the grams and the emitted term are
+    // computed over the unescaped form — the internal marker char must
+    // never leak into suggestions
+    val unesc = udf((t: String) => unsafeTerm(t))
+    val ng = udf((t: String) => Analyzer.ngrams(unsafeTerm(t)).distinct)
     spark.read.parquet(termdictAbs)
-      .select(explode(ng(col("term"))).as("gram"), col("term"), col("cf"))
+      .select(explode(ng(col("term"))).as("gram"),
+        unesc(col("term")).as("term"), col("cf"))
       .sort("gram", "term")
       .write.mode("overwrite").parquet(outAbs)
     spark.read.parquet(outAbs).count()
@@ -634,6 +645,14 @@ object IndexBuilder {
       .getOrElse(throw new IllegalStateException(
         s"rollback: no snapshot $toId under $indexDir"))
     require(target.isComplete, s"rollback target $toId is not a complete snapshot")
+    // a vacuumed-away target would commit a LATEST pointing at deleted
+    // dirs — every subsequent query would throw. Verify referenced dirs
+    // still exist before re-pointing.
+    val missing = (target.dataDirs ++ target.termdictDir.toSeq ++
+      target.suggestDir.toSeq).filterNot(rel =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, rel)))
+    require(missing.isEmpty,
+      s"rollback target $toId references vacuumed dirs: ${missing.mkString(", ")}")
     val neu = target.copy(id = cur.id + 1, parent = cur.id)
     Snapshot.commit(indexDir, neu)
     neu
@@ -647,8 +666,16 @@ object IndexBuilder {
   def vacuum(indexDir: String): Seq[String] = {
     val snap = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
-    val referenced =
-      (snap.dataDirs ++ snap.termdictDir.toSeq ++ snap.suggestDir.toSeq).toSet
+    // an INCOMPLETE latest references no termdict/suggest (those commit
+    // only with complete snapshots) — vacuuming against it alone would
+    // delete the last complete snapshot's dictionaries out from under
+    // pinned readers AND break the rollback remediation. Keep the last
+    // complete snapshot's dirs referenced whenever LATEST is partial.
+    val refSnaps: Seq[SnapshotMeta] =
+      if (snap.isComplete) Seq(snap)
+      else snap +: Snapshot.list(indexDir).filter(_.isComplete).lastOption.toSeq
+    val referenced = refSnaps
+      .flatMap(s => s.dataDirs ++ s.termdictDir.toSeq ++ s.suggestDir.toSeq).toSet
     def orphansIn(sub: String, prefix: String): Seq[String] = {
       val dir = java.nio.file.Paths.get(indexDir, sub)
       if (!java.nio.file.Files.isDirectory(dir)) Nil

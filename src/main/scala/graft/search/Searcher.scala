@@ -122,11 +122,18 @@ private[search] object BoolEval {
       if (!c.hasIds) null
       else c.idsBySeg.getOrElse(segId, return Iterator.empty)
 
-    def iter(t: String): PostingIterator = {
+    // ONE cursor per term, shared across the required/scoring/excluded
+    // roles: a must term otherwise decompresses its posting list twice per
+    // segment per query. Sharing is sound because every per-candidate
+    // access seeks the SAME target and PostingIterator.seek is a no-op
+    // when curDoc >= target (forward-only) — the role arrays only ever
+    // converge a shared cursor, never need it in two places.
+    val iterMemo = new scala.collection.mutable.HashMap[String, PostingIterator]
+    def iter(t: String): PostingIterator = iterMemo.getOrElseUpdate(t, {
       val it = new PostingIterator(byTerm(t), c.idf.getOrElse(t, 0.0), blockSize, avgdl)
       it.start()
       it
-    }
+    })
     val scoring = c.scoringTerms.filter(byTerm.contains).map(iter)
     // tombstoned docs (Deletes) are zero-idf exclusion cursors — the same
     // veto machinery as mustNot, so WAND/conjunction pruning stays exact
@@ -463,6 +470,20 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
 
   /** Distributed bool-query top-k over the snapshot. */
   def search(q: BoolQuery, k: Int): Array[Hit] = {
+    val rows = searchRaw(q, k)
+    if (rows.isEmpty) return Array.empty
+    val urls = urlTables(rows.map(_._3).distinct.toSeq)
+    rows.zipWithIndex.map { case ((docId, score, seg), i) =>
+      Hit(i + 1, docId,
+        urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt), score)
+    }
+  }
+
+  /** [[search]] without url resolution: (docId, score, segId) rows. The
+    * tombstone path (Deletes.deleteByQuery) enumerates corpus-sized match
+    * sets and needs ids only — resolving urls there would pull one String
+    * per matched document through the driver url cache. */
+  private[graft] def searchRaw(q: BoolQuery, k: Int): Array[(Long, Double, Int)] = {
     val c = compile(q) match {
       case None => return Array.empty
       case Some(x) => x
@@ -516,20 +537,12 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       if (warm) filtered.mapPartitions(evalRows)
       else filtered.groupByKey(_.segId)
         .flatMapGroups((_: Int, it: Iterator[PostingRow]) => evalRows(it))
-    val hits = scoredDs
+    scoredDs
       .toDF("docId", "score", "segId")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .collect()
-
-    if (hits.isEmpty) return Array.empty
-    val urls = urlTables(hits.map(_.getInt(2)).distinct.toSeq)
-    hits.zipWithIndex.map { case (r, i) =>
-      val seg = r.getInt(2)
-      val docId = r.getLong(0)
-      Hit(i + 1, docId, urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt),
-        r.getDouble(1))
-    }
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
   }
 
   /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on
@@ -616,7 +629,9 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   def suggest(fragment: String, k: Int): Array[(String, Long)] = {
     require(snap.suggestDir.isDefined,
       "this snapshot has no suggest artifact - build with IndexConfig(suggest = true)")
-    val key = fragment.toLowerCase
+    // Locale.ROOT like Analyzer.tokenize — the default locale would fold
+    // differently (tr_TR dotless-i) and miss grams the artifact holds
+    val key = fragment.toLowerCase(java.util.Locale.ROOT)
     if (key.length < 4 || key.length > 10) return Array.empty
     def fetch(n: Int): Array[(String, Long)] =
       spark.read.parquet(s"$indexDir/${snap.suggestDir.get}")
