@@ -89,6 +89,20 @@ object SparkEntry {
       IndexBuilder.upsert(spark, re, idx)
     }
 
+  /** Iterative-closure results ride on pinned localCheckpoint blocks that
+    * Dataset.unpersist cannot release; a query surface invoked repeatedly
+    * by bench/driver sweeps must not accumulate them. Materialize the
+    * (ontology-small) projected result on the driver, release the pinned
+    * blocks, and hand back a local DataFrame. */
+  private def localizeOntology(s: SparkSession, pr: Ontology.PinnedResult)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val out = f(pr.df)
+    val rows = out.collect()
+    val schema = out.schema
+    pr.release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   private def hitsToDocIds(spark: SparkSession,
       hits: Array[graft.search.Hit], withScore: Boolean): DataFrame = {
     import spark.implicits._
@@ -346,9 +360,9 @@ object SparkEntry {
             (col("id") / 2).cast("long"), lit("\"/>"))).otherwise(lit("")),
         lit("</owl:Class></rdf:RDF>")).as("xml"))
       val edges = Ontology.subClassEdges(xml, "xml", stripPrefix = "N")
-      Ontology.ancestorChain(edges)
-        .select(col("id"),
-          concat_ws("/", transform(col("anc"), a => a.cast("string"))).as("path"))
+      localizeOntology(s, Ontology.ancestorChainManaged(edges))(
+        _.select(col("id"),
+          concat_ws("/", transform(col("anc"), a => a.cast("string"))).as("path")))
     }),
     // S7 DAG form — the reference's REAL ontology shape: EFO is
     // multi-inheritance and the reference materializes a LIST of class
@@ -373,9 +387,9 @@ object SparkEntry {
         when(col("id") >= 3, sub(3)).otherwise(lit("")),
         lit("</owl:Class></rdf:RDF>")).as("xml"))
       val edges = Ontology.subClassEdges(xml, "xml", stripPrefix = "N")
-      Ontology.ancestorPaths(edges)
-        .select(col("id"),
-          concat_ws("/", transform(col("anc"), a => a.cast("string"))).as("path"))
+      localizeOntology(s, Ontology.ancestorPathsManaged(edges))(
+        _.select(col("id"),
+          concat_ws("/", transform(col("anc"), a => a.cast("string"))).as("path")))
     }),
     // real codecs (no stub): synthesize closed-form P6/WAV payloads per
     // doc, parse them with graft.ops.Codecs, and emit decoded features the

@@ -83,7 +83,8 @@ object Ontology {
     * round's through the returned handle. (The tracking probe window is
     * this thread's checkpoint call; a concurrent persist landing inside it
     * would at worst be unpersisted early and recompute — never corrupt.) */
-  private def closure(edges: DataFrame, maxRounds: Int, op: String): PinnedResult = {
+  private def closure(edges: DataFrame, maxRounds: Int, op: String,
+      maxPaths: Long = DefaultMaxPaths): PinnedResult = {
     val spark = edges.sparkSession
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -116,9 +117,24 @@ object Ontology {
             .select(col("id"),
               when(col("_janc").isNotNull, concat(col("_janc"), col("anc")))
                 .otherwise(col("anc")).as("anc")))
-        val t2 =
-          try next.agg(sum(size(col("anc")))).head().getLong(0)
+        val (t2, rows2) =
+          try {
+            val r = next.agg(sum(size(col("anc"))), count(lit(1))).head()
+            (r.getLong(0), r.getLong(1))
+          }
           catch { case e: Throwable => free(nextHeld); throw e }
+        // density guard: path enumeration is inherently output-exponential
+        // on dense DAGs (each round can SQUARE the path count). Fail loudly
+        // mid-closure — like the cycle guard — instead of OOMing at round
+        // k+1; the budget is rows (paths), the quantity that explodes.
+        if (rows2 > maxPaths) {
+          free(nextHeld)
+          throw new IllegalStateException(
+            s"$op: path budget exceeded at round $round - $rows2 paths > " +
+              s"maxPaths=$maxPaths. The edge DAG is too dense for full " +
+              "path enumeration; raise maxPaths only if the output is " +
+              "genuinely wanted at that cardinality")
+        }
         done = t2 == total
         total = t2
         free(held)
@@ -174,10 +190,20 @@ object Ontology {
     * engine targets. Rounds are O(log D) pointer-jumping self-joins, NOT
     * O(D) frontier steps. Duplicate input edges are collapsed (edge SET
     * semantics) so a doubly-asserted subClassOf cannot double paths. */
-  def ancestorPaths(edges: DataFrame, maxRounds: Int = 20): DataFrame =
-    ancestorPathsManaged(edges, maxRounds).df
+  def ancestorPaths(edges: DataFrame, maxRounds: Int = 20,
+      maxPaths: Long = DefaultMaxPaths): DataFrame =
+    ancestorPathsManaged(edges, maxRounds, maxPaths).df
 
-  /** [[ancestorPaths]] with a [[PinnedResult]] release handle. */
-  def ancestorPathsManaged(edges: DataFrame, maxRounds: Int = 20): PinnedResult =
-    closure(edges.select("id", "parent").distinct(), maxRounds, "ancestorPaths")
+  /** [[ancestorPaths]] with a [[PinnedResult]] release handle. `maxPaths`
+    * bounds the materialized path count per round (dense-DAG explosion
+    * guard — the closure fails loudly instead of OOMing). */
+  def ancestorPathsManaged(edges: DataFrame, maxRounds: Int = 20,
+      maxPaths: Long = DefaultMaxPaths): PinnedResult =
+    closure(edges.select("id", "parent").distinct(), maxRounds,
+      "ancestorPaths", maxPaths)
+
+  /** Default per-round path budget: generous for real ontologies (EFO
+    * materializes ~10^5 paths) while stopping a dense synthetic DAG before
+    * a round's checkpoint would dominate executor storage. */
+  val DefaultMaxPaths: Long = 50000000L
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.index.{Hashing, IndexBuilder, IndexConfig, Snapshot, SnapshotMeta, Varint}
@@ -76,30 +76,37 @@ object IndexStream {
 
   /** Content evidence that `pages` is the crashed generation's own batch:
     * segment content is a pure function of the batch (urls hash-route to
-    * segments, immutably), so ONE committed segment of the incomplete
+    * segments, immutably), so EVERY committed segment of the incomplete
     * generation must hold EXACTLY the batch urls routing to it. Checked
-    * with two anti-joins on that segment (executor-side; only counts cross
-    * to the driver). A foreign batch fails one direction with overwhelming
-    * probability; the degenerate both-empty case is consistent by
-    * definition (that segment constrains neither side). */
+    * over ALL committed top-generation segments at once with a single pair
+    * of anti-joins on (segId, url) (executor-side; only counts cross to
+    * the driver). Auditing one segment was not enough: a small batch can
+    * leave some committed segments url-empty, and a foreign batch with no
+    * urls hashing to the audited segment would pass a single-segment
+    * check. With every committed segment constrained, a foreign batch must
+    * produce the identical url->segment image across all of them —
+    * i.e. be content-identical where it matters. */
   private[graft] def resumeMatchesBatch(spark: SparkSession, indexDir: String,
       snap: SnapshotMeta, pages: DataFrame): Boolean = {
     import spark.implicits._
     val P = snap.numSegments
     val topGen = snap.generations - 1
-    val committedTop = snap.completedSegIds.filter(_ >= topGen * P)
+    val committedTop = snap.completedSegIds.filter(_ >= topGen * P).toSeq
     if (committedTop.isEmpty) return true // nothing committed constrains the batch
-    val seg = committedTop.min
     val segUrls = spark.read
       .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
-      .filter(col("segId") === seg && col("term") === IndexBuilder.TermUrls)
+      .filter(col("segId").isin(committedTop: _*) &&
+        col("term") === IndexBuilder.TermUrls)
       .as[graft.index.PostingRow]
-      .flatMap(r => Varint.decodeStrings(r.tfBytes))
-      .toDF("url")
-    val batchSegUrls = pages.select("url")
-      .filter(graft.plans.GraftFunctions.segment_of(col("url"), P) === seg - topGen * P)
-    segUrls.join(batchSegUrls, Seq("url"), "left_anti").isEmpty &&
-      batchSegUrls.join(segUrls, Seq("url"), "left_anti").isEmpty
+      .flatMap(r => Varint.decodeStrings(r.tfBytes).map(u => (r.segId, u)))
+      .toDF("segId", "url")
+    val batchSegUrls = pages.select(col("url"))
+      .withColumn("segId",
+        graft.plans.GraftFunctions.segment_of(col("url"), P) + lit(topGen * P))
+      .filter(col("segId").isin(committedTop: _*))
+      .select("segId", "url")
+    segUrls.join(batchSegUrls, Seq("segId", "url"), "left_anti").isEmpty &&
+      batchSegUrls.join(segUrls, Seq("segId", "url"), "left_anti").isEmpty
   }
 
   /** True iff `url` is already a document of the latest snapshot's TOP
@@ -228,14 +235,18 @@ object IndexStream {
       // generation of empty segments (plus a full termdict rebuild) — but
       // it IS acknowledged, so replays skip it
       if (processed.isEmpty) { writeLedger(indexDir, lineage, batchId); return }
-      // resume safety: a same-lineage ledger entry proves the crashed
-      // attempt belongs to THIS checkpoint lineage (Structured Streaming
-      // replays the unacknowledged batch verbatim); otherwise fall back
-      // to content evidence, which also covers a first-batch crash with
-      // no ledger yet
+      // resume safety: content evidence is REQUIRED, not one of two
+      // alternatives. A same-lineage ledger entry only proves this lineage
+      // ran against the index before — not that the incomplete top
+      // generation is ITS crash (a different-checkpoint stream can die
+      // mid-append without touching the ledger; OR-ing would then let this
+      // lineage's replayed batch complete the foreign partial generation —
+      // silent mixed-generation corruption). The legitimate same-lineage
+      // verbatim replay passes the content check anyway, so demanding it
+      // always costs one anti-join pair on the rare crash path and closes
+      // the hole; it also covers a first-batch crash with no ledger yet.
       buildOrResume(spark, indexDir, cfg, processed,
-          p => lastBatchId(indexDir, lineage) >= 0 ||
-            resumeMatchesBatch(spark, indexDir, p, processed)) { _ =>
+          p => resumeMatchesBatch(spark, indexDir, p, processed)) { _ =>
         IndexBuilder.upsert(spark, processed, indexDir)
       }
       writeLedger(indexDir, lineage, batchId)

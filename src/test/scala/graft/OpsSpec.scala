@@ -283,6 +283,30 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("ancestorPaths dense-DAG path budget fails loudly and frees blocks") {
+    import graft.ops.Ontology
+    // layered complete bipartite DAG: L layers of width W, every node
+    // points at ALL W nodes of the previous layer -> W^(L-1) root paths per
+    // top-layer node. Path enumeration on such density must trip the
+    // budget guard mid-closure instead of OOMing at a later round.
+    val W = 4
+    val L = 8
+    def node(layer: Int, i: Int): Long = layer.toLong * 100 + i
+    val edges = (1 until L).flatMap { l =>
+      for (i <- 0 until W; j <- 0 until W) yield (node(l, i), node(l - 1, j))
+    }.toDF("id", "parent")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalStateException](
+      Ontology.ancestorPaths(edges, maxPaths = 2000))
+    assert(e.getMessage.contains("path budget"))
+    // the failure path must not leak pinned checkpoint blocks
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
+    // and a budget that fits lets the same closure finish: total paths =
+    // sum over layers l>=1 of W * W^(l-1)... bounded here by brute count
+    val full = Ontology.ancestorPaths(edges, maxPaths = 500000)
+    assert(full.count() > 0)
+  }
+
   test("fingerprint expression equals Analyzer-free sorted token set") {
     val df = Seq((1L, "b a b c a")).toDF("id", "text")
     val fp = df.select(TextOps.fingerprintExpr(col("text"))).head().getString(0)

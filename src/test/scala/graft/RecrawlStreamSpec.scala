@@ -144,6 +144,33 @@ class RecrawlStreamSpec extends SparkSuite {
       .size === 1)
   }
 
+  test("same-lineage ledger does NOT bless a foreign crashed generation") {
+    // lineage A ran before (ledger: A,0). A DIFFERENT-checkpoint stream B
+    // then crashes mid-append of ITS batch — ledger unchanged. When A's
+    // next batch arrives, a ledger-presence shortcut would let it complete
+    // B's partial generation with foreign content (silent mixed-generation
+    // corruption); resume safety must rest on content evidence ALWAYS.
+    val idxDir = Files.createTempDirectory("graft-rs-foreign-ledger").toString
+    IndexStream.refreshBatch(spark, idxDir, cfg,
+      lineage = "ckpt-A")(crawl0.toDF(), 0L)
+    assert(IndexStream.lastBatchId(idxDir, "ckpt-A") === 0L)
+    // foreign stream B's half-appended batch (content A never saw)
+    val foreign = Corpus.pages(spark, 40, seed = 77, vocabSize = 300,
+      medianLen = 30, startId = 5000).collect().toSeq
+    val processedB = Ingest.latestPerUrl(
+      Ingest.extractValidate(foreign.toDF())._1).select("url", "text")
+    IndexBuilder.append(spark, processedB, idxDir,
+      simulateOnlySegments = Some(Set(4, 5)))
+    assert(!Snapshot.latest(idxDir).get.isComplete)
+    // lineage A replays/continues with ITS batch 1 — must be refused, not
+    // grafted onto B's generation (ledger still says A,0 so batchId 1 is
+    // unacknowledged)
+    val e = intercept[IllegalStateException](
+      IndexStream.refreshBatch(spark, idxDir, cfg,
+        lineage = "ckpt-A")(crawl1.toDF(), 1L))
+    assert(e.getMessage.contains("rollback"))
+  }
+
   test("a batch emptied by lang scoping is acknowledged without committing") {
     val dir = Files.createTempDirectory("graft-rs-empty").toString
     IndexStream.refreshBatch(spark, dir, cfg, langs = Set("en"))(crawl0.toDF(), 0L)
