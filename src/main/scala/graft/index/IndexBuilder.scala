@@ -208,6 +208,44 @@ object IndexBuilder {
       segOffset = gen * P, wanted)
   }
 
+  /** Candidate segments for an upsert batch: segment assignment is a pure
+    * murmur3 function of url (docId = segId<<40 | rank), so a url can only
+    * live in segments {g*P + segment_of(url, P) : g < generations}. The
+    * distinct per-batch s0 set is a tiny aggregation (bounded by min(P,
+    * |batch|) values), computed once driver-side and pushed down — the
+    * marker scan then reads O(|batch| x generations) segments instead of
+    * the whole index, which is what keeps a STREAMING upsert's per-batch
+    * cost proportional to the batch, not the accumulated index. */
+  private[graft] def upsertCandidateSegs(
+      newPages: DataFrame, snap: SnapshotMeta): Seq[Int] = {
+    val P = snap.numSegments
+    val spark = newPages.sparkSession
+    import spark.implicits._
+    val s0 = newPages
+      .select(graft.plans.GraftFunctions.segment_of(col("url"), P).as("s0"))
+      .distinct().as[Int].collect().sorted
+    (0 until snap.generations).flatMap(g => s0.map(_ + g * P))
+  }
+
+  /** The upsert's url-marker scan, segId-pruned to `candSegs` (factored so
+    * the plan audit can assert the pushdown): one (segId, url, docId) row
+    * per document of the candidate segments. */
+  private[graft] def upsertMarkerScan(spark: SparkSession, indexDir: String,
+      snap: SnapshotMeta, candSegs: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .as[PostingRow]
+      // pushed-down marker scan: term equality AND segId-candidate prune
+      .filter(col("term") === lit(TermUrls) && col("segId").isin(candSegs: _*))
+      .flatMap { r =>
+        val base = segBase(r.segId)
+        Varint.decodeStrings(r.tfBytes).iterator.zipWithIndex
+          .map { case (u, i) => (r.segId, u, base + i + 1) }
+      }
+      .toDF("segId", "url", "docId")
+  }
+
   /** Recrawl/update (ES index-with-same-_id, Iceberg merge-on-read): every
     * document already live for one of `newPages`' urls is tombstoned, then
     * the batch is appended as a fresh generation — two snapshot commits,
@@ -216,10 +254,11 @@ object IndexBuilder {
     * postings are never rewritten (that is `Deletes.purge`'s job) and —
     * like ES between a delete and a merge — N/avgdl/df keep counting the
     * replaced versions until a purge. The old-docId resolution is a
-    * distributed join of the batch's urls against the exploded per-segment
-    * url tables (tiny next to the corpus: one string per document); only
-    * the MATCHED (segId, docId) pairs — bounded by the batch size, not the
-    * corpus — are collected for the tombstone commit. */
+    * distributed join of the batch's urls against the per-segment url
+    * tables of the CANDIDATE segments only (see [[upsertCandidateSegs]] —
+    * the scan is batch-bounded, not index-bounded); only the MATCHED
+    * (segId, docId) pairs — bounded by the batch size — are collected for
+    * the tombstone commit. */
   def upsert(
       spark: SparkSession,
       newPages: DataFrame,
@@ -228,17 +267,8 @@ object IndexBuilder {
     val snap = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     require(snap.isComplete, "upsert requires a complete index")
-    val urlRows = spark.read
-      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
-      .as[PostingRow]
-      .filter(col("term") === lit(TermUrls)) // pushed-down marker scan
-      .flatMap { r =>
-        val base = segBase(r.segId)
-        Varint.decodeStrings(r.tfBytes).iterator.zipWithIndex
-          .map { case (u, i) => (r.segId, u, base + i + 1) }
-      }
-      .toDF("segId", "url", "docId")
-    val matched = urlRows
+    val candSegs = upsertCandidateSegs(newPages, snap)
+    val matched = upsertMarkerScan(spark, indexDir, snap, candSegs)
       .join(newPages.select("url").distinct(), Seq("url"))
       .select(col("segId"), col("docId"))
       .as[(Int, Long)]

@@ -87,6 +87,19 @@ object ExplainAudit {
       "PushedFilters: [IsNotNull(term), EqualTo(term,data)]" -> true,
       "ReadSchema: struct<term:string,df:bigint>" -> true))
 
+    // 5a. upsert url-marker scan: batch-bounded via the segment bijection —
+    // the scan must carry BOTH the marker-term equality and the candidate
+    // segId prune as pushed parquet filters (per-micro-batch cost scales
+    // with the batch, not the index).
+    val upBatch = spark.range(16)
+      .selectExpr("concat('https://example1.org/p/', id) AS url")
+    val upCands = IndexBuilder.upsertCandidateSegs(upBatch, snap)
+    val p5a = plan(IndexBuilder.upsertMarkerScan(spark, dir, snap, upCands))
+    // a single-segment candidate set simplifies In -> EqualTo; accept both
+    checkRegex("upsert marker scan segId+term pushdown", p5a, Seq(
+      """PushedFilters: \[[^\]]*(In|EqualTo)\(segId""" -> true,
+      """PushedFilters: \[[^\]]*EqualTo\(term""" -> true))
+
     // 6. q16 embedding near-dup: the blocked all-pairs join must plan as a
     // hash-partitioned groupByKey (one Exchange), never a cartesian /
     // nested-loop product — the round-1 scale-killer this replaced.

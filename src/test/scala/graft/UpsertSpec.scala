@@ -53,6 +53,36 @@ class UpsertSpec extends SparkSuite {
     assert((idHits.head.docId >> IndexBuilder.SegShift) >= cfg.numSegments)
   }
 
+  test("upsert marker scan is batch-bounded: candidate segments only") {
+    val dir = freshIndex()
+    // grow to 3 generations so the candidate set must span generations
+    IndexBuilder.upsert(spark, recrawl.toDF("url", "text"), dir)
+    val snap = Snapshot.latest(dir).get
+    assert(snap.generations === 2)
+    // a single-url batch: candidates = {g*P + murmur3(url) mod P} exactly
+    val u = recrawl.head._1
+    val batch = Seq((u, "one fresh doc")).toDF("url", "text")
+    val cands = IndexBuilder.upsertCandidateSegs(batch, snap)
+    val s0 = graft.index.Hashing.segmentOf(u, cfg.numSegments)
+    assert(cands === (0 until snap.generations).map(_ * cfg.numSegments + s0))
+    // the scan's pushed parquet filters carry the candidate prune (the scan
+    // reads O(batch) segments, not the whole index)
+    val planStr = IndexBuilder.upsertMarkerScan(spark, dir, snap, cands)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planStr.contains("In(segId"), s"segId pushdown missing:\n$planStr")
+    // and the scan's OUTPUT rows come from candidate segments only
+    val segsTouched = IndexBuilder.upsertMarkerScan(spark, dir, snap, cands)
+      .select("segId").distinct().collect().map(_.getInt(0)).toSet
+    assert(segsTouched.subsetOf(cands.toSet))
+    // end-to-end: the pruned upsert behaves identically (third version wins)
+    val after = IndexBuilder.upsert(spark, batch, dir)
+    assert(after.generations === 3)
+    val hits = Searcher.search(spark, dir, BoolQuery(ids = Some(Seq(u))), 10)
+    assert(hits.map(_.url).toSeq === Seq(u))
+    assert((hits.head.docId >> IndexBuilder.SegShift) >= 2 * cfg.numSegments)
+  }
+
   test("upsert of never-seen urls == plain append (no tombstone commit)") {
     val dir = freshIndex()
     val before = Snapshot.latest(dir).get
