@@ -33,7 +33,18 @@ import graft.search.{BoolQuery, IndexHandle}
   *
   * Both steps are snapshot commits: readers holding the previous
   * SnapshotMeta are unaffected (snapshot isolation), `compact` carries
-  * tombstone rows along unchanged, and `vacuum` reclaims pre-purge dirs. */
+  * tombstone rows along unchanged, and `vacuum` reclaims pre-purge dirs.
+  *
+  * Tombstone-volume guidance: `deleteDocIds` (the id-list path — by-url
+  * deletes and upsert's per-batch tombstoning) consolidates the AFFECTED
+  * segments' prior tombstones on the driver, so its cost is bounded by
+  * prior tombstone volume, not index size (measured in DeleteSpec:
+  * 4 segments x 10^6 ids consolidate in ~2 s fresh, ~4 s against an equal
+  * prior volume). Under sustained mass-delete workloads run
+  * `Deletes.purge` before the next mass delete — it rewrites postings
+  * without the dead docs and resets tombstone volume to zero.
+  * `deleteByQuery` is NOT driver-bounded: it enumerates and encodes
+  * per-segment inside executor tasks. */
 object Deletes {
 
   /** Tombstone documents by url (ES delete-by-id). Unknown urls are ignored
@@ -43,27 +54,63 @@ object Deletes {
     deleteDocIds(spark, indexDir, h.resolveDocIds(urls))
   }
 
-  /** Tombstone every document matching `q` (ES delete-by-query). Matching
-    * runs through the normal distributed search path, so already-deleted
-    * docs are never re-matched. At 10^12 docs swap the global top-k collect
-    * for a per-segment match-enumeration sink; the tombstone write path is
-    * identical. */
+  /** Tombstone every document matching `q` (ES delete-by-query) via a
+    * DISTRIBUTED per-segment match-enumeration sink: each candidate
+    * segment enumerates its live matches with the same cursor machinery
+    * the scorers use (already-deleted docs are exclusion cursors, so they
+    * are never re-matched), merges in its prior tombstones, and varint-
+    * encodes the consolidated TermDels row inside the task — the match
+    * set is never ranked, never collected, and never crosses to the
+    * driver, so a delete matching ~all of a 10^12-doc index streams
+    * segment-parallel like the build does. Only O(affected segments)
+    * metadata (segId, df) reaches the driver for the snapshot commit. */
   def deleteByQuery(spark: SparkSession, indexDir: String, q: BoolQuery): SnapshotMeta = {
+    import spark.implicits._
     val h = new IndexHandle(spark, indexDir, warm = false)
-    // fail LOUDLY instead of silently capping: beyond top-k-enumerable
-    // sizes the match set must be produced by a per-segment enumeration
-    // sink (same tombstone write path), not a driver collect
-    require(h.snap.numDocs <= (Int.MaxValue - 8).toLong,
-      s"deleteByQuery enumerates matches via a top-k collect; " +
-        s"${h.snap.numDocs} docs exceeds that path - use a per-segment " +
-        "match-enumeration sink")
-    val k = h.snap.numDocs.toInt
-    // searchRaw: ids only — resolving urls for a corpus-sized match set
-    // would drag every matched segment's url table through the driver
-    val bySeg = h.searchRaw(q, k)
-      .groupBy { case (docId, _, _) => (docId >> IndexBuilder.SegShift).toInt }
-      .map { case (seg, hits) => seg -> hits.map(_._1) }
-    deleteDocIds(spark, indexDir, bySeg)
+    val snap = h.snap
+    val newId = snap.id + 1
+    val rel = f"data/del-$newId%05d"
+    val out = s"$indexDir/$rel"
+    h.matchTombstoneRows(q).write.mode("overwrite").parquet(out)
+
+    // commit metadata from the WRITTEN rows (df = |prior ∪ matches| per
+    // affected segment) minus the prior distinct tombstone count of those
+    // segments — both distributed aggregations over tombstone-sized data
+    val written = spark.read.parquet(out)
+      .select("segId", "df").as[(Int, Long)].collect()
+    if (written.isEmpty) {
+      deleteDir(out)
+      return snap
+    }
+    val affected = written.map(_._1).toSeq
+    val priorCnt = spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .filter(col("term") === IndexBuilder.TermDels &&
+        col("segId").isin(affected: _*))
+      .as[PostingRow]
+      .flatMap(r => IndexBuilder.decodePostings(r)._1)
+      .distinct() // docIds embed segId — globally unique
+      .count()
+    val newlyDead = written.map(_._2).sum - priorCnt
+    if (newlyDead == 0) { // defensive: enumeration emits only on new matches
+      deleteDir(out)
+      return snap
+    }
+    val neu = snap.copy(id = newId, parent = snap.id,
+      dataDirs = snap.dataDirs :+ rel,
+      deletedDocs = snap.deletedDocs + newlyDead)
+    Snapshot.commit(indexDir, neu)
+    neu
+  }
+
+  private def deleteDir(abs: String): Unit = {
+    val root = java.nio.file.Paths.get(abs)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
   }
 
   /** Commit tombstones for per-segment docId sets. The new data dir holds

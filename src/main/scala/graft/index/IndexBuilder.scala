@@ -623,7 +623,13 @@ object IndexBuilder {
     * 1-filled — tombstones are exclusion cursors, never scored). */
   private[graft] def encodeDocIdSet(
       segId: Int, sortedIds: Array[Long], blockSize: Int): PostingRow =
-    encodeRun(segId, TermDels, sortedIds.iterator.map(d => (d, 1, 1)), blockSize)
+    encodeDocIdStream(segId, sortedIds.iterator, blockSize)
+
+  /** Streaming form for corpus-sized tombstone sets (delete-by-query's
+    * per-segment sink): memory stays O(block metadata), never O(matches). */
+  private[graft] def encodeDocIdStream(
+      segId: Int, sortedIds: Iterator[Long], blockSize: Int): PostingRow =
+    encodeRun(segId, TermDels, sortedIds.map(d => (d, 1, 1)), blockSize)
 
 
   /** Segment compaction — the engine's analogue of the reference's

@@ -154,6 +154,138 @@ private[search] object BoolEval {
   }
 }
 
+/** Match ENUMERATION (no scoring, no top-k) for delete-by-query: every
+  * live docId of one segment matching a compiled query, ascending. The
+  * cursors walk exactly like the scorers' (leapfrog conjunction for
+  * required clauses, k-way union for pure-should, ids allowlist) but emit
+  * ALL matches lazily — nothing is ranked, heaped, or collected, so the
+  * tombstone sink can stream corpus-sized match sets segment-parallel. */
+private[search] object MatchEnum {
+
+  def enumerate(
+      segId: Int,
+      rows: Seq[PostingRow],
+      dels: Seq[PostingRow],
+      c: CompiledQuery,
+      blockSize: Int): Iterator[Long] = {
+    val byTerm = new scala.collection.mutable.HashMap[String, PostingRow]
+    rows.foreach(r => byTerm.update(r.term, r))
+    var i = 0
+    while (i < c.must.length) {
+      if (!byTerm.contains(c.must(i))) return Iterator.empty; i += 1
+    }
+    i = 0
+    while (i < c.filter.length) {
+      if (!byTerm.contains(c.filter(i))) return Iterator.empty; i += 1
+    }
+    val ids: Array[Long] =
+      if (!c.hasIds) null
+      else c.idsBySeg.getOrElse(segId, return Iterator.empty)
+
+    // idf/avgdl are irrelevant without scoring — cursors only navigate
+    def iter(t: String): PostingIterator = {
+      val it = new PostingIterator(byTerm(t), 0.0, blockSize, 1.0)
+      it.start()
+      it
+    }
+    val excluded = c.mustNot.filter(byTerm.contains).map(iter) ++
+      dels.map { r =>
+        val d = new PostingIterator(r, 0.0, blockSize, 1.0)
+        d.start()
+        d
+      }
+    def notExcluded(doc: Long): Boolean = {
+      var e = 0
+      var veto = false
+      while (e < excluded.length) {
+        excluded(e).seek(doc) // candidates ascend — forward-only seeks
+        if (excluded(e).curDoc == doc) veto = true
+        e += 1
+      }
+      !veto
+    }
+
+    val required = (c.must ++ c.filter).map(iter)
+    if (required.nonEmpty) {
+      // leapfrog conjunction emitting every aligned candidate
+      new Iterator[Long] {
+        private var nextDoc = advanceFrom(IndexBuilder.segBase(segId) + 1)
+        private var idsPos = 0
+        private def advanceFrom(start: Long): Long = {
+          var candidate = start
+          while (true) {
+            if (ids != null) {
+              while (idsPos < ids.length && ids(idsPos) < candidate) idsPos += 1
+              if (idsPos == ids.length) return -1L
+              candidate = ids(idsPos)
+            }
+            var maxReq = candidate
+            var i = 0
+            while (i < required.length) {
+              val r = required(i)
+              r.seek(candidate)
+              if (r.exhausted) return -1L
+              if (r.curDoc > maxReq) maxReq = r.curDoc
+              i += 1
+            }
+            if (maxReq > candidate) candidate = maxReq // realign
+            else if (notExcluded(candidate)) return candidate
+            else candidate += 1
+          }
+          -1L
+        }
+        def hasNext: Boolean = nextDoc >= 0
+        def next(): Long = { val d = nextDoc; nextDoc = advanceFrom(d + 1); d }
+      }
+    } else if (ids != null) {
+      ids.iterator.filter(notExcluded)
+    } else {
+      // pure-should: union of the scoring cursors' docs
+      val cursors = c.scoringTerms.filter(byTerm.contains).map(iter)
+      if (cursors.isEmpty) return Iterator.empty
+      new Iterator[Long] {
+        private var nextDoc = advance()
+        private def advance(): Long = {
+          while (true) {
+            var min = Long.MaxValue
+            var i = 0
+            while (i < cursors.length) {
+              if (cursors(i).curDoc < min) min = cursors(i).curDoc
+              i += 1
+            }
+            if (min == Long.MaxValue) return -1L
+            i = 0
+            while (i < cursors.length) {
+              if (cursors(i).curDoc == min) cursors(i).next()
+              i += 1
+            }
+            if (notExcluded(min)) return min
+          }
+          -1L
+        }
+        def hasNext: Boolean = nextDoc >= 0
+        def next(): Long = { val d = nextDoc; nextDoc = advance(); d }
+      }
+    }
+  }
+
+  /** k-way merge of strictly-ascending sorted Long iterators with dedup
+    * (prior tombstone rows may overlap each other; matches are disjoint
+    * from them by construction). Streaming — O(k) state. */
+  def mergeDistinct(sources: Seq[Iterator[Long]]): Iterator[Long] = {
+    val its = sources.map(_.buffered)
+    new Iterator[Long] {
+      def hasNext: Boolean = its.exists(_.hasNext)
+      def next(): Long = {
+        var min = Long.MaxValue
+        its.foreach(it => if (it.hasNext && it.head < min) min = it.head)
+        its.foreach(it => while (it.hasNext && it.head == min) it.next())
+        min
+      }
+    }
+  }
+}
+
 /** A queryable snapshot. With `warm = true` the posting table is
   * re-clustered by segment and persisted in executor memory, and the term
   * dictionary is collected to a driver map (bounded by `dictLimit`), so a
@@ -479,10 +611,9 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     }
   }
 
-  /** [[search]] without url resolution: (docId, score, segId) rows. The
-    * tombstone path (Deletes.deleteByQuery) enumerates corpus-sized match
-    * sets and needs ids only — resolving urls there would pull one String
-    * per matched document through the driver url cache. */
+  /** [[search]] without url resolution: (docId, score, segId) rows —
+    * top-k-bounded (corpus-sized match enumeration lives in
+    * [[matchTombstoneRows]], which never collects). */
   private[graft] def searchRaw(q: BoolQuery, k: Int): Array[(Long, Double, Int)] = {
     val c = compile(q) match {
       case None => return Array.empty
@@ -543,6 +674,46 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       .limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+  }
+
+  /** Distributed match-enumeration sink (ES delete-by-query at corpus
+    * scale): one CONSOLIDATED TermDels row per segment with >= 1 NEW match
+    * — prior tombstones of that segment merged in (streaming k-way merge;
+    * exclusion cursors already keep dead docs out of the match set). The
+    * match set never touches the driver: enumeration, merge and varint
+    * encode all happen inside the per-segment task, and the returned
+    * Dataset is written straight to the tombstone dir. Segments with no
+    * new match emit nothing (their prior rows stay referenced in the old
+    * data dirs). */
+  private[graft] def matchTombstoneRows(q: BoolQuery): Dataset[PostingRow] = {
+    import spark.implicits._
+    val c = compile(q) match {
+      case None => return spark.emptyDataset[PostingRow]
+      case Some(x) => x
+    }
+    val bs = blockSize
+    // TermLens rides along so EVERY candidate segment forms a group even
+    // when no clause term has a posting row there (pure-ids deletes)
+    val wanted: Seq[String] =
+      IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
+    val byTerm = postings.filter(col("term").isin(wanted: _*))
+    val filtered =
+      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
+      else byTerm
+    filtered.groupByKey(_.segId).flatMapGroups {
+      (segId: Int, it: Iterator[PostingRow]) =>
+        val rows = it.toSeq
+        val dels = rows.filter(_.term == IndexBuilder.TermDels)
+        val terms = rows.filter(r =>
+          r.term != IndexBuilder.TermDels && r.term != IndexBuilder.TermLens)
+        val matches = MatchEnum.enumerate(segId, terms, dels, c, bs).buffered
+        if (!matches.hasNext) Iterator.empty
+        else {
+          val merged = MatchEnum.mergeDistinct(
+            matches +: dels.map(r => IndexBuilder.decodePostings(r)._1.iterator))
+          Iterator.single(IndexBuilder.encodeDocIdStream(segId, merged, bs))
+        }
+    }
   }
 
   /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on

@@ -84,6 +84,69 @@ class DeleteSpec extends SparkSuite {
     assert(Searcher.search(spark, dir, BoolQuery(must = Seq("data")), 10).isEmpty)
   }
 
+  test("delete-by-query enumerates distributed: broad match, no driver collect") {
+    val dir = freshIndex()
+    // prior tombstones first — the consolidated row must merge them
+    val priorDead = docs.map(_._1).take(25).toSet
+    Deletes.delete(spark, dir, priorDead.toSeq)
+    // a near-universal pure-should match ("the" hits almost every doc) —
+    // the old top-k-collect path; now enumerated per segment
+    val h = new IndexHandle(spark, dir, warm = false)
+    val plan = h.matchTombstoneRows(BoolQuery(should = Seq("the")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("CollectLimit"),
+      s"match enumeration must not rank/collect:\n$plan")
+    val matching = urlsContaining("the").diff(priorDead)
+    val s1 = Deletes.deleteByQuery(spark, dir, BoolQuery(should = Seq("the")))
+    assert(s1.deletedDocs === priorDead.size + matching.size)
+    assert(Searcher.search(spark, dir, BoolQuery(must = Seq("the")), 10).isEmpty)
+    // survivors behave exactly like the oracle with both delete sets applied
+    val allDead = priorDead ++ matching
+    queries.foreach { q =>
+      val engine = Searcher.topK(spark, dir, q, 10)
+      val oracle = OracleSearch.topK(docs, q, 10, cfg.numSegments, allDead)
+      assert(engine.map(x => (x.docId, x.score)).toSeq ===
+        oracle.map(x => (x.docId, x.score)).toSeq, s"query: $q")
+    }
+    // idempotent: the same broad delete commits nothing new
+    assert(Deletes.deleteByQuery(spark, dir, BoolQuery(should = Seq("the"))).id
+      === s1.id)
+    // pure-ids delete through the enumeration sink (TermLens group anchor)
+    // — fresh index: the broad delete above may have killed every doc
+    val dir2 = freshIndex()
+    val targets = docs.map(_._1).take(3)
+    val s2 = Deletes.deleteByQuery(spark, dir2, BoolQuery(ids = Some(targets)))
+    assert(s2.deletedDocs === targets.size)
+    assert(Searcher.search(spark, dir2, BoolQuery(ids = Some(targets)), 10).isEmpty)
+  }
+
+  test("tombstone-volume pressure: 10^6 ids/segment consolidates in bounded time") {
+    // deleteDocIds consolidates PRIOR tombstones of the affected segments
+    // on the driver (bounded by prior tombstone volume — purge is the
+    // pressure valve). Pin that bound with measured numbers: 4 segments x
+    // 10^6 ids, then a second overlapping mass delete that must merge
+    // against the full prior volume. (Ids need not resolve to live docs —
+    // tombstones are exclusion cursors, encoding is what is under test.)
+    val dir = freshIndex()
+    val perSeg = 1000000
+    def ids(seg: Int, offset: Int): Array[Long] =
+      Array.tabulate(perSeg)(i => IndexBuilder.segBase(seg) + offset + i + 1)
+    val wave1 = (0 until 4).map(s => s -> ids(s, 0)).toMap
+    val t0 = System.nanoTime()
+    val s1 = Deletes.deleteDocIds(spark, dir, wave1)
+    val d1 = (System.nanoTime() - t0) / 1e9
+    assert(s1.deletedDocs === 4L * perSeg)
+    // second wave overlaps half of wave 1 per segment
+    val wave2 = (0 until 4).map(s => s -> ids(s, perSeg / 2)).toMap
+    val t1 = System.nanoTime()
+    val s2 = Deletes.deleteDocIds(spark, dir, wave2)
+    val d2 = (System.nanoTime() - t1) / 1e9
+    assert(s2.deletedDocs === 4L * perSeg + 4L * (perSeg / 2))
+    info(f"wave1 (4M fresh ids): $d1%.1f s; wave2 (4M ids vs 4M prior): $d2%.1f s")
+    // driver consolidation of ~10^6/segment must stay interactive-scale
+    assert(d1 < 120 && d2 < 120, f"consolidation too slow: $d1%.1f / $d2%.1f s")
+  }
+
   test("purge == fresh build over live docs (urls + bit-identical scores)") {
     val dir = freshIndex()
     val matching = urlsContaining("data")
