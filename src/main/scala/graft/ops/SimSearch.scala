@@ -357,7 +357,12 @@ object SimSearch {
       .filter(col("nbr_id") =!= col("probe_id"))
       .select("probe_id", "nbr_id")
       .distinct()
-    topKByCos(candIds.join(eVecs, Seq("nbr_id")).join(pVecs, Seq("probe_id"))
+    // probe side is query-batch-sized by contract (an ANN serving batch,
+    // not a corpus): broadcast it EXPLICITLY — without the hint the
+    // planner re-shuffles candIds on probe_id right after the nbr_id join,
+    // an avoidable full exchange of the candidate set
+    topKByCos(candIds.join(eVecs, Seq("nbr_id"))
+      .join(broadcast(pVecs), Seq("probe_id"))
       .withColumn("cos", round(cosineFast(col("v"), col("pv")), 6)), k)
   }
 }

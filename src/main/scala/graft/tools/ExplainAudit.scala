@@ -131,9 +131,12 @@ object ExplainAudit {
     // id columns ONLY — a HashAggregate keyed on (probe_id, nbr_id) with
     // no dim-sized vector column in the keys (the round-2 scale finding).
     val p7c = plan(graft.SparkEntry.queries("q22_ann_lsh")(spark, sfDir))
-    checkRegex("q22 id-only candidate distinct", p7c, Seq(
+    checkRegex("q22 id-only candidate distinct + probe broadcast", p7c, Seq(
       """Keys \[2\]: \[probe_id#\d+L?, nbr_id#\d+L?\]""" -> true,
-      """Keys \[\d+\]: \[[^\]]*pv#""" -> false))
+      """Keys \[\d+\]: \[[^\]]*pv#""" -> false,
+      // the exact re-rank's probe-vector re-join must broadcast (no
+      // candidate-set exchange on probe_id): a BHJ keyed on probe_id alone
+      """Left keys \[1\]: \[probe_id#\d+L?\]""" -> true))
 
     // 7b. q42 IVF ANN: candidates must come from the cell equi-join (one
     // vector = one cell), never a cartesian/nested-loop fallback
