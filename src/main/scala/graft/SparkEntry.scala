@@ -54,6 +54,27 @@ object SparkEntry {
         IndexConfig(numSegments = 1, blockSize = 64, suggest = true))
     }
 
+  /** q51: MULTI-FIELD index over documents — title = first 5 tokens, body
+    * = the rest (they partition the text, so whole-doc length equals the
+    * single-field one), lang as an unanalyzed keyword field. The
+    * reference's mapping shape: text+keyword multi-fields queried by name
+    * (resources/es/sea_mappings.json:13-21, common/LookupTables.py:100-103). */
+  private def multifieldIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(s"$dir#fields") { idx =>
+      val toks = split(col("text"), " ")
+      val pages = t(spark, dir, "documents").select(
+        format_string("doc://%08d", col("doc_id")).as("url"),
+        concat_ws(" ", slice(toks, 1, 5)).as("title"),
+        concat_ws(" ",
+          slice(toks, lit(6), greatest(size(toks) - 5, lit(0)))).as("body"),
+        col("lang"))
+      IndexBuilder.build(spark, pages, idx,
+        IndexConfig(numSegments = 1, blockSize = 64, fields = Seq(
+          graft.index.FieldDef("title"),
+          graft.index.FieldDef("body"),
+          graft.index.FieldDef("lang", keyword = true))))
+    }
+
   /** q39: same documents index with every doc containing "merge"
     * tombstoned (ES delete-by-query semantics: excluded from results, but
     * N/avgdl/df still count them until purge). */
@@ -582,6 +603,19 @@ object SparkEntry {
           round(col("score"), 6).as("score"),
           col("lang"), col("source"), col("n_chars"))
     }),
+
+    // §2.8 FIELD-SCOPED search over the multi-field index: bool-should
+    // across two named analyzed fields + an exact keyword filter — the
+    // reference's Bool(should=[Match(field1), Match(field2)]) shape
+    // (common/LookupTables.py:100-103). Pinned semantics: df/idf per
+    // (field, token), tf within its field, doclen = analyzed total; the
+    // oracle recomputes the full field-tagged BM25 in SQL.
+    "q51_field_search" -> ((s, d) => hitsToDocIds(s,
+      Searcher.search(s, multifieldIndex(s, d), BoolQuery(
+        should = BoolQuery.fieldText("title", "data spark") ++
+          BoolQuery.fieldText("body", "merge"),
+        filter = Seq(BoolQuery.keyword("lang", "en"))), 20),
+      withScore = true)),
 
     // ---- delete lifecycle (Deletes.scala): soft-deleted docs excluded
     // with Lucene stats semantics (q39), then expunged so stats re-derive
@@ -1170,7 +1204,41 @@ object SparkEntry {
            strip_accents('Crème-Brûlée Ångström île façade ' || event_type) AS folded,
            COALESCE(try_cast(event_type AS DOUBLE), -1.0) AS et_num,
            COALESCE(try_cast(CAST(value AS VARCHAR) AS DOUBLE), -1.0) AS v_num
-         FROM events"""
+         FROM events""",
+    // q51: full field-tagged BM25 recomputation — title = tokens 1..5,
+    // body = the rest (exactly the engine's multifieldIndex derivation),
+    // df per (field, term), tf within the field, dl = all analyzed tokens
+    // (title+body partition the text). Candidates = the keyword filter
+    // (lang='en'); docs with no should match are hits scoring 0.0 (pinned
+    // pure-filter semantics), hence the LEFT JOIN. Top-20 cut on the
+    // UNROUNDED score like q21.
+    "q51_field_search" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l, lang
+                       FROM documents),
+         ftoks AS (
+           SELECT doc_id, 'title' AS f, unnest(l[1:5]) AS term FROM base
+           UNION ALL
+           SELECT doc_id, 'body' AS f, unnest(l[6:]) AS term FROM base),
+         dl AS (SELECT doc_id, count(*) AS dl FROM ftoks GROUP BY 1),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         q(f, term) AS (VALUES ('title','data'),('title','spark'),('body','merge')),
+         tf AS (SELECT ft.doc_id, ft.f, ft.term, count(*) AS tf FROM ftoks ft
+                JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2,3),
+         df AS (SELECT ft.f, ft.term, count(DISTINCT ft.doc_id) AS df FROM ftoks ft
+                JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2),
+         sc AS (SELECT tf.doc_id,
+                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                    AS score
+                FROM tf JOIN df ON tf.f = df.f AND tf.term = df.term
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY 1),
+         cand AS (SELECT b.doc_id, coalesce(sc.score, 0.0) AS score
+                  FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id
+                  WHERE b.lang = 'en')
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM cand ORDER BY score DESC, doc_id LIMIT 20)"""
   )
 
   /** Full simhash recomputation shared by q18/q48: md5-derived 64-bit token

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
 import graft.search.Bm25
 
+/** One indexed field of a multi-field document (the reference's ES mappings
+  * declare text + keyword multi-fields on nearly every string column,
+  * mrtarget/resources/es/sea_mappings.json:13-21). `keyword = false` runs
+  * the column through the analyzer chain (scored, counts toward document
+  * length); `keyword = true` stores the raw value as ONE unanalyzed term
+  * (exact-match filters; tf = 1, contributes nothing to document length —
+  * like ES keyword fields carrying no norms). A null field value is not
+  * indexed (ES semantics). */
+case class FieldDef(name: String, keyword: Boolean = false)
+
 /** Index layout / tuning knobs. `numSegments` is a pinned property of the
   * index (doc placement depends on it), not of the cluster: the same input
   * yields bit-identical segments at any parallelism level. */
@@ -20,7 +30,13 @@ case class IndexConfig(
     // build the persisted ngram->term suggest table with each complete
     // commit (opt-in, like an ES mapping declaring suggest fields — costs
     // one termdict-sized explode at build time)
-    suggest: Boolean = false)
+    suggest: Boolean = false,
+    // empty = the classic single-field contract (one analyzed `text`
+    // column). Non-empty = multi-field: every field's terms are stored
+    // behind a `name` tag, queries scope clauses to fields via
+    // BoolQuery.fieldText/inField/keyword. Pinned like numSegments —
+    // appends/upserts re-derive it from the snapshot.
+    fields: Seq[FieldDef] = Nil)
 
 /** On-disk posting row. One row per (segment, term) carrying the full
   * compressed posting list for that segment, plus per-block skip metadata:
@@ -100,6 +116,37 @@ object IndexBuilder {
     * must compare against TermDels, not TermUrls. */
   val TermDels = "\u0002"
 
+  /** Multi-field term tag separator: field f's terms are stored as
+    * s"$f$FieldSep$token" (ES field-qualified term space, one shared
+    * posting table). U+001F (unit separator) is forbidden in field names,
+    * so the mapping field x token -> tagged term is injective; tagged
+    * terms start with the field-name's first char (> '\u0003'), so the
+    * marker ordering holds without the safeTerm escape. */
+  val FieldSep = "\u001F"
+
+  private[index] def serializeFields(fs: Seq[FieldDef]): Seq[String] =
+    fs.map(f => (if (f.keyword) "k:" else "t:") + f.name)
+
+  private[index] def parseFields(ss: Seq[String]): Seq[FieldDef] =
+    ss.map {
+      case s if s.startsWith("k:") => FieldDef(s.substring(2), keyword = true)
+      case s if s.startsWith("t:") => FieldDef(s.substring(2))
+      case s => throw new IllegalStateException(s"bad field spec in snapshot: $s")
+    }
+
+  private[index] def validateFields(fs: Seq[FieldDef]): Unit = {
+    fs.foreach { f =>
+      require(f.name.nonEmpty && f.name.charAt(0) > '\u0003' &&
+        !f.name.contains(FieldSep),
+        s"illegal field name '${f.name}': must be non-empty, not start with " +
+          "a control char <= U+0003, and not contain U+001F")
+    }
+    require(fs.map(_.name).distinct.size == fs.size,
+      s"duplicate field names: ${fs.map(_.name)}")
+    require(fs.exists(!_.keyword),
+      "a multi-field index needs at least one analyzed (non-keyword) field")
+  }
+
   /** The marker invariant -- every stored term sorts strictly above
     * TermDels -- is NOT guaranteed by the analyzer alone: word_delimiter's
     * preserve_original keeps the raw lowercased whitespace token, so crawl
@@ -125,6 +172,34 @@ object IndexBuilder {
   def safeTermCol(tfmap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform_keys(tfmap, (k, _) =>
       when(k < lit("\u0004"), concat(lit("\u0003"), k)).otherwise(k))
+
+  /** Tagged analyzed tf map over the index's fields; the classic
+    * single-field contract when `fields` is empty. Field tags start with a
+    * validated non-control char, so tagged keys need no safeTerm escape. */
+  private def analyzedTfMap(fields: Seq[FieldDef]): org.apache.spark.sql.Column =
+    if (fields.isEmpty)
+      safeTermCol(graft.plans.GraftFunctions.term_freqs(col("text")))
+    else {
+      val maps = fields.filterNot(_.keyword).map { f =>
+        transform_keys(
+          graft.plans.GraftFunctions.term_freqs(coalesce(col(f.name), lit(""))),
+          (k, _) => concat(lit(f.name + FieldSep), k))
+      }
+      if (maps.size == 1) maps.head else map_concat(maps: _*)
+    }
+
+  /** [[analyzedTfMap]] (as column "tfa") plus the keyword fields' single
+    * unanalyzed entries: tf = 1, null values not indexed (ES keyword
+    * semantics). Distinct field tags keep map_concat keys collision-free. */
+  private def fullTfMap(fields: Seq[FieldDef]): org.apache.spark.sql.Column = {
+    val kws = fields.filter(_.keyword).map { f =>
+      map_from_entries(filter(
+        array(struct(concat(lit(f.name + FieldSep), col(f.name)).as("key"),
+          lit(1).as("value"))),
+        e => e.getField("key").isNotNull))
+    }
+    if (kws.isEmpty) col("tfa") else map_concat((col("tfa") +: kws): _*)
+  }
 
   def segBase(segId: Int): Long = segId.toLong << SegShift
 
@@ -157,10 +232,20 @@ object IndexBuilder {
       cfg: IndexConfig = IndexConfig(),
       resume: Boolean = false,
       simulateOnlySegments: Option[Set[Int]] = None): SnapshotMeta = {
+    if (cfg.fields.nonEmpty) {
+      validateFields(cfg.fields)
+      // the suggest artifact is a user-facing term surface; field-tagged
+      // terms would leak the internal tag — unsupported until a
+      // field-aware suggest exists
+      require(!cfg.suggest,
+        "suggest is not supported on multi-field indexes")
+    }
     val prior = if (resume) Snapshot.latest(indexDir) else None
     prior.foreach { p =>
       require(p.numSegments == cfg.numSegments && p.blockSize == cfg.blockSize,
         s"resume config mismatch: snapshot P=${p.numSegments}/B=${p.blockSize}")
+      require(p.fieldDefs == cfg.fields,
+        s"resume config mismatch: snapshot fields=${p.fieldDefs}, cfg=${cfg.fields}")
       require(p.generations == 1,
         "this index has appended generations; resume them via append()")
       if (p.isComplete) return p
@@ -190,7 +275,9 @@ object IndexBuilder {
     val prior = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     val P = prior.numSegments
-    val cfg = IndexConfig(P, prior.blockSize)
+    // fields are a pinned index property — re-derive from the snapshot so
+    // appended generations tokenize identically to the original build
+    val cfg = IndexConfig(P, prior.blockSize, fields = prior.fieldDefs)
     val done = prior.completedSegIds
     val topGen = prior.generations - 1
     val topGenDone = (topGen * P until (topGen + 1) * P).forall(done.contains)
@@ -302,7 +389,9 @@ object IndexBuilder {
     // per-document marker row (doc length + url, term == TermLens) is
     // synthesized by folding a sentinel entry into the tf map before the
     // native explode — no typed flatMap, no second pass over the corpus.
-    val tokRows = pages.select(col("url"), col("text"))
+    val inputCols =
+      if (cfg.fields.isEmpty) Seq("text") else cfg.fields.map(_.name)
+    val tokRows = pages.select((col("url") +: inputCols.map(col)): _*)
       .withColumn("segId", segCol)
       .filter(col("segId").isin(wanted: _*))
       // Exact 1:1 segment->task mapping: plain repartition(P, segId) is a
@@ -318,10 +407,12 @@ object IndexBuilder {
         row_number().over(Window.partitionBy(col("part")).orderBy(col("url"))))
       .withColumn("docId",
         shiftleft(col("segId").cast("long"), SegShift) + col("rank"))
-      .withColumn("tfmap",
-        safeTermCol(graft.plans.GraftFunctions.term_freqs(col("text"))))
+      // analyzed tf map first (doclen counts ONLY analyzed tokens — like
+      // ES, keyword fields carry no norms), keyword entries concat after
+      .withColumn("tfa", analyzedTfMap(cfg.fields))
       .withColumn("doclen",
-        aggregate(map_values(col("tfmap")), lit(0), (acc, x) => acc + x))
+        aggregate(map_values(col("tfa")), lit(0), (acc, x) => acc + x))
+      .withColumn("tfmap", fullTfMap(cfg.fields))
       .select(col("segId"), col("docId"), col("doclen"), col("url"),
         explode(map_concat(map(lit(TermLens), lit(0)), col("tfmap")))
           .as(Seq("term", "tf")))
@@ -404,7 +495,8 @@ object IndexBuilder {
       // tombstones committed before this build/append stay live (their
       // TermDels rows ride along in dataDirs) — the counter must too
       deletedDocs = prior.map(_.deletedDocs).getOrElse(0L),
-      suggestDir = suggestRel, suggestRows = suggestRows)
+      suggestDir = suggestRel, suggestRows = suggestRows,
+      fields = serializeFields(cfg.fields))
     Snapshot.commit(indexDir, snap)
     snap
   }

@@ -48,8 +48,16 @@ case class SnapshotMeta(
     // purge/append rebuild it with the termdict. Optional/0 so pre-suggest
     // snapshot files deserialize cleanly.
     suggestDir: Option[String] = None,
-    suggestRows: Long = 0L) {
+    suggestRows: Long = 0L,
+    // multi-field schema ("t:name" analyzed / "k:name" keyword), pinned at
+    // build time like numSegments — appends re-derive tokenization from
+    // it. Empty/null (pre-fields snapshot files) = the classic
+    // single-`text`-column contract.
+    fields: Seq[String] = Nil) {
   def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
+  /** Parsed field schema; robust to pre-fields snapshot JSON (null). */
+  def fieldDefs: Seq[FieldDef] =
+    if (fields == null || fields.isEmpty) Nil else IndexBuilder.parseFields(fields)
   /** Appends create new generations of segments: generation g occupies
     * segIds [g*numSegments, (g+1)*numSegments). */
   def generations: Int =

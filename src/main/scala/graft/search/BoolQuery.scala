@@ -71,4 +71,25 @@ object BoolQuery {
   def byIds(urls: Seq[String], shouldText: String = ""): BoolQuery =
     BoolQuery(should = Analyzer.tokenize(shouldText).toSeq,
       ids = Some(urls)).normalized
+
+  // ---- field-scoped clauses for multi-field indexes (IndexConfig.fields;
+  // the reference's queries hit NAMED fields everywhere, e.g.
+  // Bool(should=[Match(field1), Match(field2)]),
+  // mrtarget/common/LookupTables.py:100-103) ----
+
+  /** One field-qualified term (post-analysis token) of an ANALYZED field. */
+  def inField(field: String, term: String): String =
+    field + graft.index.IndexBuilder.FieldSep + term
+
+  /** ES `match` on a named analyzed field: the text runs through the
+    * analyzer chain, each token becomes a field-qualified term. Compose
+    * into any clause: BoolQuery(should = fieldText("title", "web index")
+    * ++ fieldText("body", "posting list")). */
+  def fieldText(field: String, text: String): Seq[String] =
+    Analyzer.tokenize(text).map(inField(field, _)).toSeq
+
+  /** ES `term` on a KEYWORD field: exact unanalyzed value match (use in
+    * filter/mustNot clauses; keyword terms score like any term if placed
+    * in should — tf is pinned to 1 at index time). */
+  def keyword(field: String, value: String): String = inField(field, value)
 }

@@ -933,4 +933,75 @@ object OracleSearch {
       .zipWithIndex.map { case ((id, url, s), i) => Hit(i + 1, id, url, s) }
       .toArray
   }
+
+  /** Exhaustive MULTI-FIELD evaluation with the pinned field-scoped
+    * semantics (the rank-identity oracle for IndexConfig.fields indexes):
+    * df/idf per tagged (field, token) term, tf counted within its field,
+    * doclen = total tokens across ANALYZED fields only, keyword fields
+    * tf = 1 / no doclen / null not indexed. Scoring accumulates over the
+    * tagged must∪should terms in ascending term order — float-order pinned
+    * exactly like the engine. */
+  def fieldTopK(
+      docs: Seq[(String, Map[String, String])], // url -> field values
+      fields: Seq[graft.index.FieldDef],
+      q0: BoolQuery,
+      k: Int,
+      numSegments: Int): Array[Hit] = {
+    val q = q0.normalized
+    if (q.contradictory) return Array.empty
+    val sep = IndexBuilder.FieldSep
+    def tfMapOf(vals: Map[String, String]): (Map[String, Int], Int) = {
+      var doclen = 0
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      fields.foreach { f =>
+        val v = vals.getOrElse(f.name, null)
+        if (f.keyword) { if (v != null) m.update(f.name + sep + v, 1) }
+        else Analyzer.termFreqs(if (v == null) "" else v).foreach {
+          case (t, c) => m.update(f.name + sep + t, c); doclen += c
+        }
+      }
+      (m.toMap, doclen)
+    }
+    val withIds = docs
+      .map { case (url, vals) => (Hashing.segmentOf(url, numSegments), url, vals) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (seg, rows) =>
+        rows.sortBy(_._2)(utf8Ordering).zipWithIndex.map {
+          case ((_, url, vals), i) =>
+            (IndexBuilder.segBase(seg) + i + 1, url, vals)
+        }
+      }
+    val tfs = withIds.map { case (id, url, vals) =>
+      val (m, dl) = tfMapOf(vals); (id, url, m, dl)
+    }
+    val n = tfs.size.toLong
+    if (n == 0) return Array.empty
+    val sumdl = tfs.iterator.map(_._4.toLong).sum
+    val avgdl = Bm25.avgdl(n, sumdl)
+    val scoringAll = (q.must ++ q.should).distinct.sorted
+    val dfByTerm = scoringAll.map(t => t -> tfs.count(_._3.contains(t)).toLong).toMap
+    val idsSet = q.ids.map(_.toSet)
+    val scored = tfs.flatMap { case (id, url, tf, doclen) =>
+      val pass = idsSet.forall(_.contains(url)) &&
+        q.must.forall(t => tf.getOrElse(t, 0) > 0) &&
+        q.filter.forall(t => tf.getOrElse(t, 0) > 0) &&
+        !q.mustNot.exists(t => tf.getOrElse(t, 0) > 0)
+      if (!pass) None
+      else {
+        var s = 0.0
+        var any = false
+        scoringAll.foreach { t => // ascending term order — float parity
+          val f = tf.getOrElse(t, 0)
+          if (f > 0 && dfByTerm(t) > 0) {
+            any = true
+            s += Bm25.idf(n, dfByTerm(t)) * Bm25.tfNorm(f, doclen, avgdl)
+          }
+        }
+        if (q.hasRequired || any) Some((id, url, s)) else None
+      }
+    }
+    scored.sortBy { case (id, _, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, url, s), i) => Hit(i + 1, id, url, s) }
+      .toArray
+  }
 }

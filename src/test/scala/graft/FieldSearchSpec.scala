@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.corpus.Corpus
+import graft.index.{FieldDef, IndexBuilder, IndexConfig, Snapshot}
+import graft.search.{BoolQuery, OracleSearch, Searcher}
+
+/** Field-scoped search over multi-field indexes (IndexConfig.fields): the
+  * reference's mappings declare text+keyword multi-fields on nearly every
+  * string (resources/es/sea_mappings.json:13-21) and its queries hit named
+  * fields (common/LookupTables.py:100-103). Pinned semantics: terms are
+  * field-tagged, df/idf per (field, token), tf within the field, doclen =
+  * analyzed fields' total tokens, keyword fields exact/unanalyzed with
+  * tf=1 and no doclen. Rank identity vs OracleSearch.fieldTopK. */
+class FieldSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fields = Seq(
+    FieldDef("title"), FieldDef("body"), FieldDef("lang", keyword = true))
+  private val cfg = IndexConfig(numSegments = 4, blockSize = 16, fields = fields)
+
+  // (url, title, body, lang): title = first 4 tokens, body = rest; lang
+  // cycles en/de/fr with nulls (not indexed) and a SPACED keyword value
+  // (the analyzer could never emit it — exact match must still work)
+  private lazy val rows: Seq[(String, String, String, String)] = {
+    val pages = Corpus.pages(spark, 250, seed = 33, vocabSize = 300,
+      medianLen = 40).select("url", "text")
+      .as[(String, String)].collect().toSeq
+    pages.zipWithIndex.map { case ((url, text), i) =>
+      val toks = text.split(" ")
+      val lang =
+        if (i % 17 == 0) null
+        else if (i % 5 == 0) "en US"
+        else Seq("en", "de", "fr")(i % 3)
+      (url, toks.take(4).mkString(" "), toks.drop(4).mkString(" "), lang)
+    }
+  }
+  private lazy val docsMap: Seq[(String, Map[String, String])] =
+    rows.map { case (u, t, b, l) =>
+      u -> (Map("title" -> t, "body" -> b) ++ Option(l).map("lang" -> _))
+    }
+
+  private def freshIndex(): String = {
+    val dir = Files.createTempDirectory("graft-fields").toString
+    IndexBuilder.build(spark,
+      rows.toDF("url", "title", "body", "lang"), dir, cfg)
+    dir
+  }
+
+  // common tokens, derived from the data so queries always hit
+  private lazy val topTitleTok = rows.flatMap(_._2.split(" "))
+    .groupBy(identity).maxBy(_._2.size)._1
+  private lazy val topBodyTok = rows.flatMap(_._3.split(" "))
+    .groupBy(identity).maxBy(_._2.size)._1
+
+  private def check(dir: String, q: BoolQuery, k: Int = 15): Unit = {
+    val engine = Searcher.search(spark, dir, q, k)
+      .map(h => (h.docId, h.url, h.score)).toSeq
+    val oracle = OracleSearch.fieldTopK(docsMap, fields, q, k, cfg.numSegments)
+      .map(h => (h.docId, h.url, h.score)).toSeq
+    assert(engine === oracle, s"query: $q")
+    assert(engine.nonEmpty, s"vacuous check (no hits): $q")
+  }
+
+  test("field-scoped bool queries are rank+score identical to the oracle") {
+    val dir = freshIndex()
+    // bool-should across two named fields (the reference's LookupTables
+    // shape), keyword filter, field-scoped must/mustNot, ids + field text
+    check(dir, BoolQuery(
+      should = BoolQuery.fieldText("title", topTitleTok) ++
+        BoolQuery.fieldText("body", topBodyTok)))
+    check(dir, BoolQuery(
+      should = BoolQuery.fieldText("body", s"$topBodyTok $topTitleTok"),
+      filter = Seq(BoolQuery.keyword("lang", "en"))))
+    check(dir, BoolQuery(
+      must = BoolQuery.fieldText("title", topTitleTok),
+      mustNot = BoolQuery.fieldText("body", topBodyTok)))
+    check(dir, BoolQuery(
+      should = BoolQuery.fieldText("title", topTitleTok),
+      ids = Some(rows.map(_._1).take(40))))
+    // spaced keyword value: exact unanalyzed match
+    check(dir, BoolQuery(
+      should = BoolQuery.fieldText("body", topBodyTok),
+      filter = Seq(BoolQuery.keyword("lang", "en US"))))
+  }
+
+  test("field tags isolate term spaces; untagged and wrong-field queries miss") {
+    val dir = freshIndex()
+    // a token that appears ONLY in bodies (never among first-4 title toks)
+    val bodyOnly = rows.flatMap(_._3.split(" ")).toSet
+      .diff(rows.flatMap(_._2.split(" ")).toSet)
+    assume(bodyOnly.nonEmpty)
+    val tok = bodyOnly.head
+    assert(Searcher.search(spark, dir,
+      BoolQuery(must = BoolQuery.fieldText("body", tok)), 5).nonEmpty)
+    assert(Searcher.search(spark, dir,
+      BoolQuery(must = BoolQuery.fieldText("title", tok)), 5).isEmpty)
+    // untagged terms live in a different (empty) term space here
+    assert(Searcher.search(spark, dir, BoolQuery(must = Seq(tok)), 5).isEmpty)
+    // keyword is exact: an analyzed-style partial never matches
+    assert(Searcher.search(spark, dir,
+      BoolQuery(filter = Seq(BoolQuery.keyword("lang", "en")),
+        should = BoolQuery.fieldText("body", tok)), 5)
+      .forall(h => docsMap.toMap.apply(h.url).get("lang").contains("en")))
+    // null keyword values are not indexed: no term for them
+    val nullUrls = rows.filter(_._4 == null).map(_._1)
+    assume(nullUrls.nonEmpty)
+    assert(Searcher.search(spark, dir,
+      BoolQuery(ids = Some(nullUrls),
+        filter = Seq(BoolQuery.keyword("lang", "en"))), 50).isEmpty)
+  }
+
+  test("append re-derives the pinned field schema from the snapshot") {
+    val dir = freshIndex()
+    assert(Snapshot.latest(dir).get.fieldDefs === fields)
+    val extra = Corpus.pages(spark, 40, seed = 44, vocabSize = 300,
+      medianLen = 40, startId = 7000).select("url", "text")
+      .as[(String, String)].collect().toSeq
+      .map { case (u, t) =>
+        val toks = t.split(" ")
+        (u, toks.take(4).mkString(" "), toks.drop(4).mkString(" "), "en")
+      }
+    IndexBuilder.append(spark,
+      extra.toDF("url", "title", "body", "lang"), dir)
+    val allDocs = docsMap ++ extra.map { case (u, t, b, l) =>
+      u -> Map("title" -> t, "body" -> b, "lang" -> l)
+    }
+    val q = BoolQuery(should = BoolQuery.fieldText("title", topTitleTok) ++
+      BoolQuery.fieldText("body", topBodyTok))
+    // the oracle models ONE generation (contiguous ranks), the engine two —
+    // docIds differ by design; urls and scores must be identical. Compare
+    // as canonical (score desc, url) sets so equal-score docId tie-breaks
+    // across the generation boundary don't flip adjacent rows.
+    def canon(hits: Array[graft.search.Hit]) =
+      hits.map(h => (h.url, h.score)).sortBy { case (u, s) => (-s, u) }.toSeq
+    val engine = canon(Searcher.search(spark, dir, q, 15))
+    val oracle = canon(OracleSearch.fieldTopK(allDocs, fields, q, 15, cfg.numSegments))
+    assert(engine === oracle)
+  }
+
+  test("multi-field config is validated loudly") {
+    val df = rows.toDF("url", "title", "body", "lang")
+    def tryBuild(c: IndexConfig): Unit = {
+      val d = Files.createTempDirectory("graft-fields-bad").toString
+      IndexBuilder.build(spark, df, d, c)
+    }
+    intercept[IllegalArgumentException](tryBuild(cfg.copy(fields =
+      Seq(FieldDef("title"), FieldDef("title", keyword = true)))))
+    intercept[IllegalArgumentException](tryBuild(cfg.copy(fields =
+      Seq(FieldDef("lang", keyword = true)))))
+    intercept[IllegalArgumentException](tryBuild(cfg.copy(fields =
+      Seq(FieldDef("a" + IndexBuilder.FieldSep + "b")))))
+    intercept[IllegalArgumentException](tryBuild(cfg.copy(suggest = true)))
+  }
+}
