@@ -617,6 +617,20 @@ object SparkEntry {
         filter = Seq(BoolQuery.keyword("lang", "en"))), 20),
       withScore = true)),
 
+    // §2.8 DEEP PAGING (search_after; the reference scroll-pages result
+    // sets, modules/Association.py:309-311): three pages of 7 stitched via
+    // the (score, docId) cursor — each page one top-k pass, no
+    // recompute-with-larger-k — must equal the one-shot top-21, which is
+    // what the DuckDB oracle computes.
+    "q52_search_after" -> ((s, d) => {
+      val h = new graft.search.IndexHandle(s, documentsIndex(s, d), warm = false)
+      val q = BoolQuery.text(Bm25Query)
+      val p1 = h.search(q, 7)
+      val p2 = h.searchAfter(q, 7, Some((p1.last.score, p1.last.docId)))
+      val p3 = h.searchAfter(q, 7, Some((p2.last.score, p2.last.docId)))
+      hitsToDocIds(s, p1 ++ p2 ++ p3, withScore = true)
+    }),
+
     // ---- delete lifecycle (Deletes.scala): soft-deleted docs excluded
     // with Lucene stats semantics (q39), then expunged so stats re-derive
     // over live docs (q40) ----
@@ -1027,6 +1041,13 @@ object SparkEntry {
       s"""$Bm25ScoreCte
          SELECT doc_id, round(score,6) AS score FROM
            (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)""",
+    // q52: the engine stitches 3 search_after pages of 7; the oracle is
+    // simply the one-shot top-21 of the same BM25 ranking — page stitching
+    // must be indistinguishable from a single larger query
+    "q52_search_after" ->
+      s"""$Bm25ScoreCte
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 21)""",
     // NB: the top-20 cuts order by the UNROUNDED score (inner query), exactly
     // like the engine ranks by the exact double — rounding happens after the
     // cut on both sides, so a <5e-7 boundary tie cannot flip the doc set.

@@ -35,7 +35,10 @@ object BooleanScorer {
       // external lower bound on the GLOBAL kth-best score (see Wand.topK):
       // a segment whose total scoring bound falls strictly below it cannot
       // contribute; equality survives for the global docId tie-break
-      floor: Double = Double.NegativeInfinity): Array[SegHit] = {
+      floor: Double = Double.NegativeInfinity,
+      // search_after paging cursor (see Wand.topK): only docs strictly
+      // after (score desc, docId asc)-order position `after` may enter
+      after: SegHit = null): Array[SegHit] = {
     require(required.nonEmpty || ids != null,
       "conjunctiveTopK needs a required clause; use Wand for pure-should")
     if (k <= 0) return Array.empty
@@ -97,8 +100,12 @@ object BooleanScorer {
                       lens((candidate - segBase - 1).toInt), avgdl)
                   j += 1
                 }
-                if (heap.size < k) heap.enqueue(SegHit(candidate, s))
-                else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(candidate, s)) }
+                val pastCursor = after == null || s < after.score ||
+                  (s == after.score && candidate > after.docId)
+                if (pastCursor) {
+                  if (heap.size < k) heap.enqueue(SegHit(candidate, s))
+                  else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(candidate, s)) }
+                }
               }
               candidate += 1
             }

@@ -35,6 +35,12 @@ object Searcher {
   def search(spark: SparkSession, indexDir: String, q: BoolQuery, k: Int): Array[Hit] =
     new IndexHandle(spark, indexDir, warm = false).search(q, k)
 
+  /** Deep paging (see IndexHandle.searchAfter): next k hits strictly after
+    * the (score, docId) cursor under (score desc, docId asc). */
+  def searchAfter(spark: SparkSession, indexDir: String, q: BoolQuery, k: Int,
+      after: Option[(Double, Long)]): Array[Hit] =
+    new IndexHandle(spark, indexDir, warm = false).searchAfter(q, k, after)
+
   /** DataFrame form for SparkEntry / driver smoke checks. */
   def topKDF(spark: SparkSession, indexDir: String, query: String, k: Int): DataFrame = {
     import spark.implicits._
@@ -106,7 +112,9 @@ private[search] object BoolEval {
       avgdl: Double,
       k: Int,
       // external lower bound on the global kth-best score (Wand.topK docs)
-      floor: Double = Double.NegativeInfinity): Iterator[(Long, Double, Int)] = {
+      floor: Double = Double.NegativeInfinity,
+      // search_after paging cursor (Wand.topK docs)
+      after: SegHit = null): Iterator[(Long, Double, Int)] = {
     val byTerm = new scala.collection.mutable.HashMap[String, PostingRow]
     rows.foreach(r => byTerm.update(r.term, r))
     // a segment missing any required term cannot match
@@ -146,10 +154,11 @@ private[search] object BoolEval {
     val hits =
       if (c.hasRequired)
         BooleanScorer.conjunctiveTopK((c.must ++ c.filter).map(iter), scoring,
-          excluded, ids, lens, IndexBuilder.segBase(segId), avgdl, k, floor)
+          excluded, ids, lens, IndexBuilder.segBase(segId), avgdl, k, floor,
+          after)
       else if (scoring.isEmpty) Array.empty[SegHit]
       else Wand.topK(scoring, lens, IndexBuilder.segBase(segId), avgdl, k,
-        excluded, floor)
+        excluded, floor, after)
     hits.iterator.map(h => (h.docId, h.score, segId))
   }
 }
@@ -601,8 +610,21 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     servedSearch(BoolQuery.text(query), k)
 
   /** Distributed bool-query top-k over the snapshot. */
-  def search(q: BoolQuery, k: Int): Array[Hit] = {
-    val rows = searchRaw(q, k)
+  def search(q: BoolQuery, k: Int): Array[Hit] = searchAfter(q, k, None)
+
+  /** Deep paging (ES search_after; the reference pages query-filtered
+    * result sets with scroll='4h'/size=1000, modules/Association.py:
+    * 309-311): `after` = (score, docId) of the LAST hit of the previous
+    * page, and the result is the next k hits strictly after that position
+    * under the global (score desc, docId asc) order — every segment's
+    * scorer applies the cursor as an upper-bound filter while its own
+    * heap theta keeps the usual WAND/conjunction pruning, so page N+1
+    * costs one top-k pass, never a recompute with k' = (N+1)*k. Scores
+    * are deterministic across calls (pinned float order), so the cursor's
+    * equality tie-break is exact. Ranks restart at 1 per page. */
+  def searchAfter(q: BoolQuery, k: Int,
+      after: Option[(Double, Long)]): Array[Hit] = {
+    val rows = searchRaw(q, k, after)
     if (rows.isEmpty) return Array.empty
     val urls = urlTables(rows.map(_._3).distinct.toSeq)
     rows.zipWithIndex.map { case ((docId, score, seg), i) =>
@@ -614,7 +636,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   /** [[search]] without url resolution: (docId, score, segId) rows —
     * top-k-bounded (corpus-sized match enumeration lives in
     * [[matchTombstoneRows]], which never collects). */
-  private[graft] def searchRaw(q: BoolQuery, k: Int): Array[(Long, Double, Int)] = {
+  private[graft] def searchRaw(q: BoolQuery, k: Int,
+      after: Option[(Double, Long)] = None): Array[(Long, Double, Int)] = {
     val c = compile(q) match {
       case None => return Array.empty
       case Some(x) => x
@@ -622,6 +645,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     val kk = k
     val avg = avgdl
     val bs = blockSize
+    val aft: SegHit = after.map { case (s, d) => SegHit(d, s) }.orNull
     val wanted: Seq[String] =
       IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
 
@@ -650,7 +674,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           case Some(lens) =>
             BoolEval.scoreSegment(segId,
               posting.get(segId).map(_.toSeq).getOrElse(Nil), lens,
-              delsFor.get(segId).map(_.toSeq).getOrElse(Nil), c, bs, avg, kk)
+              delsFor.get(segId).map(_.toSeq).getOrElse(Nil), c, bs, avg, kk,
+              after = aft)
         }
       }
     }
@@ -718,11 +743,18 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
 
   /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on
     * the driver from the memoized posting/doc-length caches. */
-  def servedSearch(q: BoolQuery, k: Int): Array[Hit] = {
+  def servedSearch(q: BoolQuery, k: Int): Array[Hit] =
+    servedSearchAfter(q, k, None)
+
+  /** [[searchAfter]] on the hot-serving path — rank-identical paging from
+    * the driver-memoized caches. */
+  def servedSearchAfter(q: BoolQuery, k: Int,
+      after: Option[(Double, Long)]): Array[Hit] = {
     val c = compile(q) match {
       case None => return Array.empty
       case Some(x) => x
     }
+    val aft: SegHit = after.map { case (s, d) => SegHit(d, s) }.orNull
     val wantedTerms = c.allTerms.toSeq
     val rowsByTerm = fetchPostings(wantedTerms)
 
@@ -773,7 +805,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         case Some((l, dels)) =>
           val rows = rowsBySeg.get(segId).map(_.toSeq).getOrElse(Nil)
           val segHits = BoolEval.scoreSegment(segId, rows, l, dels, c,
-            blockSize, avgdl, k, floorNow).toSeq
+            blockSize, avgdl, k, floorNow, aft).toSeq
           if (segHits.lengthCompare(k) >= 0)
             raiseFloor(segHits.iterator.map(_._2).min)
           segHits

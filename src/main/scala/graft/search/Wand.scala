@@ -32,7 +32,15 @@ object Wand {
     * NOT dropped (an equal score can still win the global docId-asc
     * tie-break against the segment that produced the floor). The local
     * heap rule keeps its `<=` drop — within one segment a later equal
-    * score always loses — and the two rules prune independently. */
+    * score always loses — and the two rules prune independently.
+    *
+    * `after` is the search_after paging cursor (the LAST hit of the
+    * previous page under the global (score desc, docId asc) order): only
+    * docs strictly after it — score < after.score, or equal score with
+    * docId > after.docId — may enter the heap. Scores are deterministic
+    * (pinned float accumulation order), so the equality compare is exact
+    * across pages. An upper-bound filter cannot drive skipping, so WAND's
+    * own theta/block-max pruning still does all the work. */
   def topK(
       iters: Array[PostingIterator],
       lens: Array[Int],
@@ -40,7 +48,8 @@ object Wand {
       avgdl: Double,
       k: Int,
       exclude: Array[PostingIterator] = Array.empty,
-      floor: Double = Double.NegativeInfinity): Array[SegHit] = {
+      floor: Double = Double.NegativeInfinity,
+      after: SegHit = null): Array[SegHit] = {
     val n = iters.length
     if (n == 0 || k <= 0) return Array.empty
 
@@ -85,8 +94,12 @@ object Wand {
             s += it.idf * Bm25.tfNorm(it.curTf, lens((doc - segBase - 1).toInt), avgdl)
           i += 1
         }
-        if (heap.size < k) heap.enqueue(SegHit(doc, s))
-        else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(doc, s)) }
+        val pastCursor = after == null || s < after.score ||
+          (s == after.score && doc > after.docId)
+        if (pastCursor) {
+          if (heap.size < k) heap.enqueue(SegHit(doc, s))
+          else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(doc, s)) }
+        }
       }
       var i = 0
       while (i < n) {

@@ -99,6 +99,81 @@ class WandFuzzSpec extends SparkSuite {
     }
   }
 
+  test("search_after paging: stitched pages == one-shot top-k (fuzz)") {
+    import graft.search.{BoolQuery, IndexHandle}
+    val vocab = Array("a", "b", "c", "d", "the", "of", "w1x")
+    (1 to 5).foreach { round =>
+      val nDocs = 40 + rng.nextInt(120)
+      // tiny vocab + coarse lengths => many EXACTLY equal scores => page
+      // boundaries regularly land inside tie runs
+      val docs = (0 until nDocs).map { i =>
+        val len = 1 + rng.nextInt(20)
+        val text = Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+        (f"https://page$round%02d.org/p/$i%04d", text)
+      }
+      val cfg = IndexConfig(numSegments = 4, blockSize = 4)
+      val dir = Files.createTempDirectory(s"graft-page-$round").toString
+      IndexBuilder.build(spark, docs.toDF("url", "text"), dir, cfg)
+      val h = new IndexHandle(spark, dir, warm = false)
+      (1 to 5).foreach { _ =>
+        val q =
+          if (rng.nextBoolean())
+            BoolQuery.text(Seq.fill(1 + rng.nextInt(3))(
+              vocab(rng.nextInt(vocab.length))).mkString(" "))
+          else BoolQuery(must = Seq(vocab(rng.nextInt(4))),
+            should = Seq(vocab(rng.nextInt(vocab.length))))
+        val total = 5 + rng.nextInt(25)
+        val oneShot = h.search(q, total).map(x => (x.docId, x.score)).toSeq
+        val pageSize = 1 + rng.nextInt(7)
+        def stitch(fetch: (Int, Option[(Double, Long)]) => Array[graft.search.Hit])
+            : Seq[(Long, Double)] = {
+          var acc = Vector.empty[(Long, Double)]
+          var after: Option[(Double, Long)] = None
+          var done = false
+          while (!done && acc.size < total) {
+            val page = fetch(math.min(pageSize, total - acc.size), after)
+            if (page.isEmpty) done = true
+            else {
+              acc ++= page.map(x => (x.docId, x.score))
+              after = Some((page.last.score, page.last.docId))
+            }
+          }
+          acc
+        }
+        assert(stitch(h.searchAfter(q, _, _)) === oneShot,
+          s"round=$round q=$q p=$pageSize (distributed)")
+        assert(stitch(h.servedSearchAfter(q, _, _)) === oneShot,
+          s"round=$round q=$q p=$pageSize (served)")
+      }
+    }
+  }
+
+  test("search_after: exact tie run across the page boundary (docId tie-break)") {
+    import graft.search.{BoolQuery, IndexHandle}
+    // 7 docs with IDENTICAL text => identical scores; pages of 2 repeatedly
+    // cut inside the tie run — the cursor's (score ==, docId >) edge
+    val docs = (0 until 7).map(i => (f"https://tie.org/p/$i%02d", "a a b"))
+    val dir = Files.createTempDirectory("graft-page-tie").toString
+    IndexBuilder.build(spark, docs.toDF("url", "text"), dir,
+      IndexConfig(numSegments = 3, blockSize = 4))
+    val h = new IndexHandle(spark, dir, warm = false)
+    val q = BoolQuery.text("a")
+    val oneShot = h.search(q, 7).map(x => (x.docId, x.score)).toSeq
+    assert(oneShot.size === 7)
+    assert(oneShot.map(_._2).distinct.size === 1, "scores must all tie")
+    assert(oneShot.map(_._1) === oneShot.map(_._1).sorted, "docId asc within tie")
+    var acc = Vector.empty[(Long, Double)]
+    var after: Option[(Double, Long)] = None
+    (1 to 4).foreach { _ =>
+      val page = h.searchAfter(q, 2, after)
+      acc ++= page.map(x => (x.docId, x.score))
+      if (page.nonEmpty) after = Some((page.last.score, page.last.docId))
+    }
+    assert(acc === oneShot)
+    // and paging past the end returns empty
+    assert(h.searchAfter(q, 2, after).isEmpty)
+  }
+
   test("posting cursor: random seeks agree with full decode") {
     (1 to 50).foreach { it =>
       val n = 1 + rng.nextInt(300)
