@@ -124,6 +124,17 @@ object Bench {
     // medians — report the band across pairs alongside the point estimate
     val effPairs = pairs.map { case (t4, t16) => t4 / (4.0 * t16) }.sorted
     val eff416 = median(effPairs)
+    // band hygiene: one host-steal pair can make the raw min/max band
+    // unreadable (r3 saw a 0.099 pair against a 0.83 median). Report a
+    // TRIMMED band (drop the extreme pair at each end) alongside the raw
+    // one, plus the count of outlier pairs — pairs whose ratio sits >3x
+    // from the median in either direction, i.e. whose two sides ran ~3x
+    // apart relative to the others.
+    val effTrimmed =
+      if (effPairs.length >= 3) effPairs.slice(1, effPairs.length - 1)
+      else effPairs
+    val outlierPairs =
+      effPairs.count(e => e < eff416 / 3.0 || e > eff416 * 3.0)
     val tp32 = {
       warmLevel(32)
       val times = (1 to math.max(1, reps - 1)).map(_ => buildOnce(32))
@@ -207,7 +218,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val prewarmTotal = prewarm.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_efficiency_trimmed_min":${effTrimmed.head}%.3f,"scaling_efficiency_trimmed_max":${effTrimmed.last}%.3f,"scaling_outlier_pairs":$outlierPairs,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f}""")
     spark.stop()
     // free the tmpfs space
     scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
