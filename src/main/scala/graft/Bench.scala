@@ -155,7 +155,7 @@ object Bench {
     // sweep's per-query numbers read as query latency, not build+query.
     val indexBacked = Seq("q21_bm25_topk", "q31_suggest", "q32_bool_query",
       "q33_ids_filter", "q39_delete_search", "q40_purge_search",
-      "q41_upsert_search", "q49_fetch_source")
+      "q41_upsert_search", "q49_fetch_source", "q51_field_search")
     val prewarm = indexBacked.flatMap(name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -117,11 +117,12 @@ object SparkEntry {
     * blocks, and hand back a local DataFrame. */
   private def localizeOntology(s: SparkSession, pr: Ontology.PinnedResult)(
       f: DataFrame => DataFrame): DataFrame = {
-    val out = f(pr.df)
-    val rows = out.collect()
-    val schema = out.schema
-    pr.release()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    try {
+      val out = f(pr.df)
+      val rows = out.collect()
+      val schema = out.schema
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally pr.release() // release on failure too, or the blocks leak
   }
 
   private def hitsToDocIds(spark: SparkSession,
@@ -625,10 +626,13 @@ object SparkEntry {
     "q52_search_after" -> ((s, d) => {
       val h = new graft.search.IndexHandle(s, documentsIndex(s, d), warm = false)
       val q = BoolQuery.text(Bm25Query)
-      val p1 = h.search(q, 7)
-      val p2 = h.searchAfter(q, 7, Some((p1.last.score, p1.last.docId)))
-      val p3 = h.searchAfter(q, 7, Some((p2.last.score, p2.last.docId)))
-      hitsToDocIds(s, p1 ++ p2 ++ p3, withScore = true)
+      // stop paging on an empty/short page (fewer matches than 3 full
+      // pages) instead of cursoring off .last of an empty array
+      val pages = Iterator.iterate(h.search(q, 7)) { prev =>
+        val c = prev.last
+        h.searchAfter(q, 7, Some((c.score, c.docId)))
+      }.takeWhile(_.nonEmpty).take(3).toSeq
+      hitsToDocIds(s, pages.flatten.toArray, withScore = true)
     }),
 
     // ---- delete lifecycle (Deletes.scala): soft-deleted docs excluded

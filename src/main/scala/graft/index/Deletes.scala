@@ -103,15 +103,8 @@ object Deletes {
     neu
   }
 
-  private def deleteDir(abs: String): Unit = {
-    val root = java.nio.file.Paths.get(abs)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-    }
-  }
+  private def deleteDir(abs: String): Unit =
+    IndexBuilder.deleteTree(java.nio.file.Paths.get(abs))
 
   /** Commit tombstones for per-segment docId sets. The new data dir holds
     * one CONSOLIDATED TermDels row per affected segment (prior tombstones

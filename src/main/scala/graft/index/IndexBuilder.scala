@@ -818,13 +818,19 @@ object IndexBuilder {
     }
     val orphans = orphansIn("data", "data") ++
       orphansIn("termdict", "termdict") ++ orphansIn("suggest", "suggest")
-    orphans.foreach { rel =>
-      val root = java.nio.file.Paths.get(indexDir, rel)
+    orphans.foreach(rel => deleteTree(java.nio.file.Paths.get(indexDir, rel)))
+    orphans
+  }
+
+  /** Recursive directory delete (children before parents); no-op when the
+    * path is absent. ONE home for the walk/reverse-order idiom — vacuum
+    * and the delete sink both reclaim dirs through this. */
+  private[index] def deleteTree(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
       finally walk.close()
     }
-    orphans
   }
 }

@@ -218,8 +218,11 @@ private[search] object MatchEnum {
     if (required.nonEmpty) {
       // leapfrog conjunction emitting every aligned candidate
       new Iterator[Long] {
-        private var nextDoc = advanceFrom(IndexBuilder.segBase(segId) + 1)
+        // idsPos MUST be declared before nextDoc: the nextDoc initializer
+        // runs advanceFrom, which advances idsPos — declaring idsPos after
+        // would zero it back out and force a redundant O(|ids|) re-scan
         private var idsPos = 0
+        private var nextDoc = advanceFrom(IndexBuilder.segBase(segId) + 1)
         private def advanceFrom(start: Long): Long = {
           var candidate = start
           while (true) {
@@ -734,8 +737,19 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         val matches = MatchEnum.enumerate(segId, terms, dels, c, bs).buffered
         if (!matches.hasNext) Iterator.empty
         else {
-          val merged = MatchEnum.mergeDistinct(
-            matches +: dels.map(r => IndexBuilder.decodePostings(r)._1.iterator))
+          // prior tombstones stream block-at-a-time off their compressed
+          // bytes (a PostingIterator cursor, like the exclusion cursors
+          // above) — decodePostings would materialize 8 bytes per
+          // previously-deleted doc in-task, an executor-OOM risk right
+          // after a prior mass delete, exactly the workload this sink
+          // exists for
+          def delCursor(r: PostingRow): Iterator[Long] = new Iterator[Long] {
+            private val it = new PostingIterator(r, 0.0, bs, 1.0)
+            it.start()
+            def hasNext: Boolean = !it.exhausted
+            def next(): Long = { val d = it.curDoc; it.next(); d }
+          }
+          val merged = MatchEnum.mergeDistinct(matches +: dels.map(delCursor))
           Iterator.single(IndexBuilder.encodeDocIdStream(segId, merged, bs))
         }
     }
