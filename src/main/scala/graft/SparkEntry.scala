@@ -264,13 +264,15 @@ object SparkEntry {
     // ---- dedup family ----
     "q10_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
-    // wired to the PREFIX-FILTER plan: exact same pairs (DedupSpec pins the
-    // two plans equal), but head shingles never become join keys — the
-    // plan that survives Zipf web-shingle skew at 100x. The simple
-    // equi-join variant stays available as Dedup.jaccardPairs for
-    // bounded-df corpora where its single shuffle wins.
+    // COST-BASED plan: one pass measures the simple join's exact output
+    // cardinality Σ df·(df−1)/2 and picks the single-shuffle equi-join
+    // when it's linear in the input (this corpus) or the skew-immune
+    // prefix-filter plan when Zipf head shingles make it quadratic (the
+    // 100x web case). Output identical either way — DedupSpec pins all
+    // three (simple / prefix / auto) equal; ExplainAudit asserts the
+    // selector picks each side on the corpus shaped for it.
     "q11_jaccard_neardup" -> ((s, d) =>
-      Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text", 3, 0.5)),
+      Dedup.jaccardPairsAuto(t(s, d, "documents"), "doc_id", "text", 3, 0.5)),
     "q17_minhash_neardup" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         3, 64, 16, 0.5)),

@@ -88,7 +88,9 @@ object Deletes {
       .filter(col("term") === IndexBuilder.TermDels &&
         col("segId").isin(affected: _*))
       .as[PostingRow]
-      .flatMap(r => IndexBuilder.decodePostings(r)._1)
+      // streamed decode — a consolidated prior row can cover ~all docs of
+      // a segment; never materialize it in-task
+      .flatMap(r => IndexBuilder.docIdStream(r))
       .distinct() // docIds embed segId — globally unique
       .count()
     val newlyDead = written.map(_._2).sum - priorCnt
@@ -225,7 +227,9 @@ object Deletes {
 
     val dead = new java.util.BitSet(lens.length)
     while (it.hasNext && it.head.term == IndexBuilder.TermDels) {
-      IndexBuilder.decodePostings(it.next())._1
+      // streamed: the consolidated row after a mass delete can cover ~all
+      // docs of the segment — fill the bitset without decoding to an array
+      IndexBuilder.docIdStream(it.next())
         .foreach(d => dead.set((d - segB - 1).toInt))
     }
     val nDead = dead.cardinality()

@@ -711,6 +711,22 @@ object IndexBuilder {
     (ids, tfs)
   }
 
+  /** Lazy docId stream over one posting row — decodes the contiguous
+    * delta stream sequentially without materializing the list. The
+    * counterpart of [[encodeDocIdStream]] for READING corpus-sized
+    * tombstone rows (delete-by-query prior counts, purge bitset fills):
+    * [[decodePostings]] would allocate 8 bytes per covered doc in-task,
+    * an executor-OOM risk right after a prior mass delete. */
+  private[graft] def docIdStream(r: PostingRow): Iterator[Long] =
+    new Iterator[Long] {
+      private val n = r.df.toInt
+      private val dr = new Varint.Reader(r.docBytes, 0)
+      private var prev = segBase(r.segId)
+      private var i = 0
+      def hasNext: Boolean = i < n
+      def next(): Long = { prev += dr.readLong(); i += 1; prev }
+    }
+
   /** Encode a sorted docId set as a TermDels tombstone row (tf/doclen are
     * 1-filled — tombstones are exclusion cursors, never scored). */
   private[graft] def encodeDocIdSet(

@@ -104,8 +104,12 @@ object Dedup {
     val pruned = candidates
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      // 1e-6 slack (as in DataDrivenRelation's tEff): float rounding of
+      // t*max can exceed an exact-boundary integer min (0.28*25 =
+      // 7.000000000000001) and silently drop a pair the exact jaccard
+      // filter below would keep — slack only ever ENLARGES the candidates
       .filter(least(col("sza"), col("szb")) >=
-        lit(threshold) * greatest(col("sza"), col("szb")))
+        lit(threshold) * greatest(col("sza"), col("szb")) - 1e-6)
 
     val inter = pruned
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
@@ -117,6 +121,42 @@ object Dedup {
         col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Cost-based choice between [[jaccardPairs]] (one shuffle join; wins
+    * when shingle document frequencies are bounded) and
+    * [[jaccardPairsPrefix]] (4 extra shuffles; immune to Zipf head-shingle
+    * skew). Same exact output either way — only the plan differs.
+    *
+    * The decision statistic is the simple plan's EXACT pre-aggregation
+    * join cardinality, pairs = Σ_s df(s)·(df(s)−1)/2, measured with one
+    * cheap two-level aggregation over the shingle table (map-side partial
+    * agg; one scalar crosses to the driver). The simple plan is chosen iff
+    * `pairs <= blowupFactor · rows`: its shuffle output then stays within
+    * a small factor of its input, and — since the largest single-key skew
+    * block df_max²/2 is itself ≤ pairs — no individual reducer can exceed
+    * the same budget. Under web-scale Zipf shingles (df_head ≈ n_docs)
+    * pairs explodes quadratically and the prefix plan is picked; the
+    * statistic measures precisely the quantity that melts the simple join,
+    * so the choice cannot be fooled by skew shapes (unlike df_max or
+    * doc-count heuristics). Costs one extra pass over the shingle
+    * table — the AQE trade: O(input) statistics to avoid a potentially
+    * quadratic wrong plan. */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blowupFactor: Double = 8.0): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    // doubles: df·(df−1) overflows Long at df ~ 3e9, and a cost estimate
+    // needs no exactness there
+    val st = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df").cast("double") * (col("df") - 1) / 2).as("pairs"),
+        sum(col("df")).as("rows"))
+      .head()
+    val pairs = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
+    val rows = if (st.isNullAt(1)) 0L else st.getLong(1)
+    if (pairs <= blowupFactor * rows)
+      jaccardPairs(docs, idCol, textCol, n, threshold)
+    else
+      jaccardPairsPrefix(docs, idCol, textCol, n, threshold)
   }
 
   /** Per-permutation MinHash: h_i(s) = splitmix-rehash of (hash64(s), i). */

@@ -130,11 +130,13 @@ object Multimodal {
   /** Dual-route image decode — the reference's valid/invalid reject channel
     * (mrtarget/modules/Evidences.py:290-308) applied to binary payloads:
     * parseable rows emit features; rows whose payload throws are routed
-    * with the parse error as `explanation` (id, kind, explanation). Both
-    * outputs are views over one tagged plan — cache `media` upstream when
-    * consuming both, as with ops.Routing. */
-  def routeImages(spark: SparkSession, media: Dataset[MediaRow])
-      : (Dataset[ImageFeatures], DataFrame) = {
+    * with the parse error as `explanation` (id, kind, explanation). The
+    * tagged plan is persisted for the scope of `use` so consuming BOTH
+    * channels decodes each payload once (caching `media` upstream cannot
+    * do that — it only avoids the re-read, not the re-decode), mirroring
+    * ops.Routing's evaluate-once contract. */
+  def routeImages[T](spark: SparkSession, media: Dataset[MediaRow])(
+      use: (Dataset[ImageFeatures], DataFrame) => T): T = {
     import spark.implicits._
     val tagged: Dataset[(Long, String, Option[ImageFeatures], Option[String])] =
       media.mapPartitions(_.map { r =>
@@ -148,11 +150,14 @@ object Multimodal {
               Some(Option(e.getMessage).getOrElse(e.toString)))
         }
       })
-    val valid = tagged.flatMap(_._3)
-    val invalid = tagged.filter(_._4.isDefined)
-      .map(t => (t._1, t._2, t._4.get))
-      .toDF("id", "kind", "explanation")
-    (valid, invalid)
+    val cached = tagged.persist()
+    try {
+      val valid = cached.flatMap(_._3)
+      val invalid = cached.filter(_._4.isDefined)
+        .map(t => (t._1, t._2, t._4.get))
+        .toDF("id", "kind", "explanation")
+      use(valid, invalid)
+    } finally cached.unpersist()
   }
 
   /** Decode PCM WAV payloads: frame count, RMS amplitude, peak. The

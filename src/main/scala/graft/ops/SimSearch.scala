@@ -242,6 +242,9 @@ object SimSearch {
     // the silent long cast would null out string ids (NPE at the centroid
     // collect) or collide truncated doubles — reject loudly instead
     requireIntegralId(emb, idCol, "ivfTopK")
+    // the probe side casts too: a string probe id would null out, turn the
+    // nbr_id =!= probe_id filter null, and return 0 rows with no error
+    requireIntegralId(probes, idCol, "ivfTopK probes")
     val e = emb.select(col(idCol).cast("long").as("nbr_id"),
       col(vecCol).cast("array<double>").as("v"))
     val rankUdf = udf { (id: Long) =>

@@ -77,6 +77,10 @@ object TextOps {
       if (i >= window - 1) acc ^= java.lang.Long.rotateLeft(h, i % 64)
       i += 1
     }
+    // sub-window texts never fire the fold above — fold the partial-window
+    // hash so short documents don't all collapse to fingerprint 0
+    if (bytes.length < window)
+      acc = java.lang.Long.rotateLeft(h, (bytes.length - 1) % 64)
     acc
   }
 

@@ -100,9 +100,7 @@ object BooleanScorer {
                       lens((candidate - segBase - 1).toInt), avgdl)
                   j += 1
                 }
-                val pastCursor = after == null || s < after.score ||
-                  (s == after.score && candidate > after.docId)
-                if (pastCursor) {
+                if (SegHit.strictlyAfter(after, candidate, s)) {
                   if (heap.size < k) heap.enqueue(SegHit(candidate, s))
                   else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(candidate, s)) }
                 }

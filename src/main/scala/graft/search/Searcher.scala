@@ -648,7 +648,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     val kk = k
     val avg = avgdl
     val bs = blockSize
-    val aft: SegHit = after.map { case (s, d) => SegHit(d, s) }.orNull
+    val aft: SegHit = SegHit.fromCursor(after)
     val wanted: Seq[String] =
       IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
 
@@ -737,19 +737,13 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         val matches = MatchEnum.enumerate(segId, terms, dels, c, bs).buffered
         if (!matches.hasNext) Iterator.empty
         else {
-          // prior tombstones stream block-at-a-time off their compressed
-          // bytes (a PostingIterator cursor, like the exclusion cursors
-          // above) — decodePostings would materialize 8 bytes per
-          // previously-deleted doc in-task, an executor-OOM risk right
-          // after a prior mass delete, exactly the workload this sink
-          // exists for
-          def delCursor(r: PostingRow): Iterator[Long] = new Iterator[Long] {
-            private val it = new PostingIterator(r, 0.0, bs, 1.0)
-            it.start()
-            def hasNext: Boolean = !it.exhausted
-            def next(): Long = { val d = it.curDoc; it.next(); d }
-          }
-          val merged = MatchEnum.mergeDistinct(matches +: dels.map(delCursor))
+          // prior tombstones stream off their compressed bytes
+          // (IndexBuilder.docIdStream) — decodePostings would materialize
+          // 8 bytes per previously-deleted doc in-task, an executor-OOM
+          // risk right after a prior mass delete, exactly the workload
+          // this sink exists for
+          val merged = MatchEnum.mergeDistinct(
+            matches +: dels.map(IndexBuilder.docIdStream))
           Iterator.single(IndexBuilder.encodeDocIdStream(segId, merged, bs))
         }
     }
@@ -768,7 +762,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case None => return Array.empty
       case Some(x) => x
     }
-    val aft: SegHit = after.map { case (s, d) => SegHit(d, s) }.orNull
+    val aft: SegHit = SegHit.fromCursor(after)
     val wantedTerms = c.allTerms.toSeq
     val rowsByTerm = fetchPostings(wantedTerms)
 

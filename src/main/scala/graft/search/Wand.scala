@@ -4,6 +4,21 @@ import scala.collection.mutable
 
 final case class SegHit(docId: Long, score: Double)
 
+object SegHit {
+  /** ONE home for the paging contract: global order is (score desc,
+    * docId asc), so a hit lies strictly after a cursor iff its score is
+    * lower, or equal with a higher docId. Shared by the WAND and
+    * conjunctive scorers — duplicating this predicate risks the two query
+    * shapes desynchronizing at page boundaries. */
+  @inline def strictlyAfter(cursor: SegHit, docId: Long, score: Double): Boolean =
+    cursor == null || score < cursor.score ||
+      (score == cursor.score && docId > cursor.docId)
+
+  /** The public (score, docId) cursor tuple as the scorers' SegHit form. */
+  def fromCursor(after: Option[(Double, Long)]): SegHit =
+    after.map { case (s, d) => SegHit(d, s) }.orNull
+}
+
 /** Document-at-a-time block-max WAND top-k over one segment's posting
   * cursors (the runtime the reference delegates to Elasticsearch/Lucene —
   * SURVEY.md §2.8 "top-k retrieval"; algorithm per Broder et al. 2003 and
@@ -94,9 +109,7 @@ object Wand {
             s += it.idf * Bm25.tfNorm(it.curTf, lens((doc - segBase - 1).toInt), avgdl)
           i += 1
         }
-        val pastCursor = after == null || s < after.score ||
-          (s == after.score && doc > after.docId)
-        if (pastCursor) {
+        if (SegHit.strictlyAfter(after, doc, s)) {
           if (heap.size < k) heap.enqueue(SegHit(doc, s))
           else if (s > theta) { heap.dequeue(); heap.enqueue(SegHit(doc, s)) }
         }

@@ -25,11 +25,18 @@ object EventStream {
   /** Per-user running session state (event-time gap > 30 min = new one). */
   case class SessionState(sessions: Long, events: Long, lastUs: Long)
 
-  def readEvents(spark: SparkSession, path: String): Dataset[Event] = {
+  /** `maxFilesPerTrigger` caps files per micro-batch (0 = source default):
+    * tests set 1 over a multi-file dir to force a genuine multi-batch run. */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): Dataset[Event] = {
     import spark.implicits._
-    spark.readStream
+    val rs = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE")
-      .parquet(path)
+    val rs2 =
+      if (maxFilesPerTrigger > 0)
+        rs.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else rs
+    rs2.parquet(path)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
@@ -86,17 +93,42 @@ object EventStream {
         })
   }
 
-  /** Run a streaming DataFrame to completion over the (bounded) file input
-    * via the memory sink; returns the final result table. */
+  /** Run a streaming DataFrame to completion over the (bounded) file input;
+    * returns the result table. In update mode the memory sink RETAINS
+    * superseded rows from earlier micro-batches (an input split across
+    * triggers — e.g. >maxFilesPerTrigger files — yields stale duplicates
+    * per key, and collect() order says nothing about which is newest), so
+    * callers wanting final-state-per-key MUST pass `latestBy`: the result
+    * then keeps only each key's newest update, taken in guaranteed
+    * micro-batch order via foreachBatch. The latestBy path collects each
+    * batch's (keyed, update-mode-compact) output to the driver — this is a
+    * bounded test/demo surface, not a production sink. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      outputMode: String = "update"): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+      outputMode: String = "update", latestBy: Seq[String] = Nil): DataFrame = {
+    if (latestBy.isEmpty) {
+      val q: StreamingQuery = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } else {
+      val acc = new java.util.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]
+      val q: StreamingQuery = df.writeStream
+        .outputMode(outputMode)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val keyIdx = latestBy.map(b.schema.fieldIndex)
+          // batches arrive in order; an update-mode agg emits each changed
+          // key once per batch — put() keeps the newest
+          b.collect().foreach(r => acc.put(keyIdx.map(r.get), r))
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](acc.values())
+      spark.createDataFrame(rows, df.schema)
+    }
   }
 }

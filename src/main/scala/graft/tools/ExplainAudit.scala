@@ -117,12 +117,29 @@ object ExplainAudit {
       "CartesianProduct" -> false,
       "BroadcastNestedLoopJoin" -> false))
 
-    // 7a. q11 shingle near-dup is wired to the PREFIX-FILTER plan: the
-    // per-doc (df asc, shingle asc) ordering window is its structural
-    // marker (the simple skew-prone join has no Window), and head shingles
-    // never become candidate join keys by construction.
+    // 7a. q11 shingle near-dup is COST-BASED: on this corpus's bounded-df
+    // shingles the selector must pick the single-shuffle simple join (no
+    // Window node — the per-doc df-ordering window is the prefix plan's
+    // structural marker)...
     val p7a = plan(graft.SparkEntry.queries("q11_jaccard_neardup")(spark, sfDir))
-    check("q11 prefix-filter plan wired", p7a, Seq(
+    check("q11 auto picks simple join on bounded-df corpus", p7a, Seq(
+      "Window" -> false,
+      "CartesianProduct" -> false,
+      "BroadcastNestedLoopJoin" -> false))
+    // ...and on a corpus with universal head shingles (df == n_docs ⇒
+    // quadratic join output) it must pick the prefix-filter plan, where
+    // head shingles never become candidate join keys. 12 distinct head
+    // tokens ⇒ 12 universal shingles, each contributing N·(N−1)/2 pairs —
+    // decisively over the 8·rows budget at any test SF (measured: ratio
+    // 5.2 → 46 at sf0.01 going 3 → 12 head tokens).
+    val headPfx = (0 until 12).map(i => s"h$i").mkString("", " ", " ")
+    val skewed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(headPfx),
+          org.apache.spark.sql.functions.col("text")).as("text"))
+    val p7skew = plan(graft.ops.Dedup.jaccardPairsAuto(skewed, "doc_id", "text", 3, 0.5))
+    check("q11 auto picks prefix-filter plan under head skew", p7skew, Seq(
       "Window" -> true,
       "CartesianProduct" -> false,
       "BroadcastNestedLoopJoin" -> false))

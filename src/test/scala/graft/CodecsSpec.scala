@@ -132,12 +132,14 @@ class CodecsSpec extends SparkSuite {
       Multimodal.MediaRow(2L, "image/x-portable-pixmap", "P6\n9 9\n255\nxx".getBytes),
       Multimodal.MediaRow(3L, "image/x-portable-pixmap", Array[Byte](1, 2, 3))
     ).toDS().cache()
-    val (valid, invalid) = Multimodal.routeImages(spark, media)
-    assert(valid.collect().map(_.id).toSeq === Seq(1L))
-    val inv = invalid.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(inv.keySet === Set(2L, 3L))
-    assert(inv(2L).contains("truncated"))
-    assert(inv(3L).contains("not a P6"))
+    Multimodal.routeImages(spark, media) { (valid, invalid) =>
+      assert(valid.collect().map(_.id).toSeq === Seq(1L))
+      val inv = invalid.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(inv.keySet === Set(2L, 3L))
+      assert(inv(2L).contains("truncated"))
+      assert(inv(3L).contains("not a P6"))
+    }
+    media.unpersist()
   }
 
   test("synthesized media decode matches the closed form (q43/q44 contract)") {

@@ -75,6 +75,48 @@ class DedupSpec extends SparkSuite {
     assert(simple.nonEmpty)
   }
 
+  test("cost-based auto: same output, simple plan on bounded df, prefix under skew") {
+    Seq(0.3, 0.5).foreach { t =>
+      val auto = Dedup.jaccardPairsAuto(docs, "id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val simple = Dedup.jaccardPairs(docs, "id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(auto === simple, s"threshold $t")
+    }
+    // this corpus's shingle dfs are bounded (pairs ≪ 8·rows) → the
+    // selector must return the single-shuffle simple plan (no df-ordering
+    // window, the prefix plan's structural marker)
+    val planPlain = Dedup.jaccardPairsAuto(docs, "id", "text", 3, 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!planPlain.contains("row_number"))
+    // 30 identical docs: every shingle has df=30 → pairs/rows = 14.5 > 8
+    // → prefix plan, and the output is still the full exact pair set
+    val same = (0 until 30).map(i => (i.toLong, "aa bb cc dd ee ff gg hh"))
+      .toDF("id", "text")
+    val skewAuto = Dedup.jaccardPairsAuto(same, "id", "text", 3, 0.5)
+    assert(skewAuto.queryExecution.optimizedPlan.toString.contains("row_number"))
+    val got = skewAuto.as[(Long, Long, Double)].collect()
+    assert(got.length === 30 * 29 / 2 && got.forall(_._3 === 1.0))
+  }
+
+  test("prefix-filtered Jaccard keeps exact-boundary pairs (float slack)") {
+    // B's 7 shingles ⊂ A's 25 → J = 7/25 = 0.28 exactly. The size-ratio
+    // prune computes 0.28*25 = 7.000000000000001 in doubles; without the
+    // 1e-6 slack `least(7) >= t*greatest` silently drops the pair the
+    // exact filter keeps, breaking prefixed == simple at the boundary.
+    val aTokens = (0 until 27).map(i => s"w$i")
+    val boundary = Seq(
+      (1L, aTokens.mkString(" ")),           // 25 shingles
+      (2L, aTokens.take(9).mkString(" "))    // 7 shingles, all ⊂ A
+    ).toDF("id", "text")
+    val simple = Dedup.jaccardPairs(boundary, "id", "text", 3, 0.28)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefixed = Dedup.jaccardPairsPrefix(boundary, "id", "text", 3, 0.28)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(simple === Set((1L, 2L, 0.28)))
+    assert(prefixed === simple)
+  }
+
   test("MinHash-LSH pairs: exact precision, full recall on this corpus") {
     val lsh = Dedup.minhashLshPairs(docs, "id", "text", 3, 64, 16, 0.5)
       .as[(Long, Long, Double)].collect().toSet

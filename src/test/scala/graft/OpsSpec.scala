@@ -40,6 +40,11 @@ class OpsSpec extends SparkSuite {
     assert(h1 === TextOps.rollingHash("the quick brown fox jumps over"))
     assert(h1 !== TextOps.rollingHash("the quick brown fox jumps ovex"))
     assert(TextOps.rollingHash("") === 0L)
+    // sub-window (<16-byte) texts must not all collapse to fingerprint 0:
+    // the partial-window hash is folded in instead
+    assert(TextOps.rollingHash("cat") !== 0L)
+    assert(TextOps.rollingHash("cat") !== TextOps.rollingHash("dog"))
+    assert(TextOps.rollingHash("cat") === TextOps.rollingHash("cat"))
   }
 
   test("multimodal stub: binary transport round-trips deterministic features") {

@@ -116,6 +116,13 @@ class SimSearchSpec extends SparkSuite {
       SimSearch.ivfTopK(strIds, strIds, "vec_id", "embedding", 5)
     }
     assert(e.getMessage.contains("integral id column"))
+    // probe-side-only string ids must fail just as loudly — a silent long
+    // cast would null them out and return 0 rows with no error
+    val intIds = vectors.toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      SimSearch.ivfTopK(intIds, strIds, "vec_id", "embedding", 5)
+    }
+    assert(e2.getMessage.contains("integral id column"))
   }
 
   test("IVF assignment is a partition: each vector lands in exactly one cell") {

@@ -1,27 +1,55 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStream
 
 /** Structured Streaming ops cross-checked against their batch analogues on
-  * the same bounded input (sf0.001 events). */
+  * the same bounded input (sf0.001 events).
+  *
+  * The input is split into THREE time-ordered files consumed with
+  * `maxFilesPerTrigger = 1`, so every test runs a genuine multi-micro-batch
+  * stream: watermark advancement, cross-batch state carry-over, and the
+  * update-mode re-emission of changed keys are all exercised (a single-file
+  * run would collapse to one batch and test none of that). Results go
+  * through `runToMemory(latestBy = ...)` because in update mode superseded
+  * rows from earlier batches must be dropped per key, in batch order. */
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
-  // the streaming file source requires a DIRECTORY of files
+  // Three contiguous event-time bands as separate files with increasing
+  // mtimes: the file source (latestFirst=false) then triggers them oldest
+  // first, giving in-event-time-order arrival across micro-batches — the
+  // ordering contract under which sessionize matches batch q24 exactly.
   private lazy val path: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-in")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("events.parquet"))
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("rk", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    val n = df.count()
+    for (b <- 0 until 3) {
+      val lo = b * n / 3 + 1
+      val hi = (b + 1) * n / 3
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-band$b")
+      df.filter(col("rk") >= lo && col("rk") <= hi).drop("rk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      val dst = dir.resolve(f"band$b%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
     dir.toString
   }
 
-  test("watermarked windowed counts equal the batch computation") {
+  test("watermarked windowed counts equal the batch computation across micro-batches") {
     val streamed = EventStream.runToMemory(spark,
-      EventStream.windowedCounts(EventStream.readEvents(spark, path)),
-      "win_counts", outputMode = "update")
+      EventStream.windowedCounts(
+        EventStream.readEvents(spark, path, maxFilesPerTrigger = 1)),
+      "win_counts", outputMode = "update",
+      latestBy = Seq("window", "event_type"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("v"))
       .as[(java.sql.Timestamp, String, Long, Double)].collect()
       .map(r => (r._1.getTime, r._2) -> (r._3, r._4)).toMap
@@ -37,23 +65,23 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
-  test("stateful sessionization matches the batch gap logic (q24)") {
+  test("stateful sessionization matches the batch gap logic (q24) across micro-batches") {
     val updates = EventStream.runToMemory(spark,
       EventStream.sessionize(spark,
-        EventStream.readEvents(spark, path)).toDF(),
-      "sessions", outputMode = "update")
+        EventStream.readEvents(spark, path, maxFilesPerTrigger = 1)).toDF(),
+      "sessions", outputMode = "update", latestBy = Seq("user_id"))
       .as[(Long, Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.last).toMap // final state per user
+      .map(r => r._1 -> (r._2, r._3)).toMap // final state per user
 
     val batch = SparkEntry.queries("q24_sessionize")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> r._2).toMap // user -> n_sessions
 
     batch.foreach { case (user, nSessions) =>
-      assert(updates(user)._2 === nSessions, s"user $user")
+      assert(updates(user)._1 === nSessions, s"user $user")
     }
     // total events accounted for
     val totalEvents = spark.read.parquet(path).count()
-    assert(updates.values.map(_._3).sum === totalEvents)
+    assert(updates.values.map(_._2).sum === totalEvents)
   }
 }
