@@ -35,16 +35,19 @@ import graft.search.{BoolQuery, IndexHandle}
   * SnapshotMeta are unaffected (snapshot isolation), `compact` carries
   * tombstone rows along unchanged, and `vacuum` reclaims pre-purge dirs.
   *
-  * Tombstone-volume guidance: `deleteDocIds` (the id-list path — by-url
-  * deletes and upsert's per-batch tombstoning) consolidates the AFFECTED
-  * segments' prior tombstones on the driver, so its cost is bounded by
-  * prior tombstone volume, not index size (measured in DeleteSpec:
-  * 4 segments x 10^6 ids consolidate in ~2 s fresh, ~4 s against an equal
-  * prior volume). Under sustained mass-delete workloads run
-  * `Deletes.purge` before the next mass delete — it rewrites postings
-  * without the dead docs and resets tombstone volume to zero.
-  * `deleteByQuery` is NOT driver-bounded: it enumerates and encodes
-  * per-segment inside executor tasks. */
+  * Tombstone-volume guidance: both delete paths are executor-side.
+  * `deleteDocIds` (the id-list path — by-url deletes and upsert's
+  * per-batch tombstoning) consolidates each AFFECTED segment's prior
+  * tombstones against the batch inside a task, streaming over encoded
+  * bytes — per-call cost is bounded by the affected segments' tombstone
+  * BYTES per task plus the (batch-bounded) id sets (measured in
+  * DeleteSpec: 4 segments x 10^6 prior ids re-consolidate in seconds).
+  * `deleteByQuery` enumerates and encodes matches per-segment inside
+  * executor tasks; newly-dead counts on both paths come from row
+  * metadata (consolidated-superset df), never from decoding postings.
+  * Under sustained mass-delete workloads run `Deletes.purge`
+  * periodically — it rewrites postings without the dead docs and resets
+  * tombstone volume to zero. */
 object Deletes {
 
   /** Tombstone documents by url (ES delete-by-id). Unknown urls are ignored
@@ -83,16 +86,7 @@ object Deletes {
       return snap
     }
     val affected = written.map(_._1).toSeq
-    val priorCnt = spark.read
-      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
-      .filter(col("term") === IndexBuilder.TermDels &&
-        col("segId").isin(affected: _*))
-      .as[PostingRow]
-      // streamed decode — a consolidated prior row can cover ~all docs of
-      // a segment; never materialize it in-task
-      .flatMap(r => IndexBuilder.docIdStream(r))
-      .distinct() // docIds embed segId — globally unique
-      .count()
+    val priorCnt = priorDeadCount(spark, indexDir, snap, affected)
     val newlyDead = written.map(_._2).sum - priorCnt
     if (newlyDead == 0) { // defensive: enumeration emits only on new matches
       deleteDir(out)
@@ -108,10 +102,36 @@ object Deletes {
   private def deleteDir(abs: String): Unit =
     IndexBuilder.deleteTree(java.nio.file.Paths.get(abs))
 
+  /** Distinct prior dead count of `affected` segments, from row METADATA
+    * only: every tombstone writer emits one CONSOLIDATED row per segment
+    * (prior ∪ new — see [[deleteDocIds]]), so each segment's rows form a
+    * superset chain and the newest row's `df` IS its distinct dead count.
+    * max(df) per segment over a column-pruned (term, segId, df) scan —
+    * no posting bytes are ever read or decoded. */
+  private def priorDeadCount(spark: SparkSession, indexDir: String,
+      snap: SnapshotMeta, affected: Seq[Int]): Long = {
+    import spark.implicits._
+    spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .filter(col("term") === IndexBuilder.TermDels &&
+        col("segId").isin(affected: _*))
+      .groupBy("segId").agg(max("df").as("d"))
+      .agg(coalesce(sum("d"), lit(0L))).as[Long].head()
+  }
+
   /** Commit tombstones for per-segment docId sets. The new data dir holds
     * one CONSOLIDATED TermDels row per affected segment (prior tombstones
     * for that segment become redundant subsets — exclusion is idempotent,
-    * and purge/compact collapse them); unaffected segments are untouched. */
+    * and purge/compact collapse them); unaffected segments are untouched.
+    *
+    * Consolidation is EXECUTOR-side: the batch's id sets join the newest
+    * prior tombstone row per affected segment (the superset chain makes
+    * older rows redundant), and each task stream-merges its prior row with
+    * the batch ids and re-encodes — prior tombstones move between
+    * executors varint-encoded and are never materialized as arrays
+    * anywhere, so cost scales with tombstone BYTES held per task, not
+    * with accumulated dead-doc count on the driver. The newly-dead count
+    * falls out of row metadata (Σ new df − Σ prior df). */
   def deleteDocIds(
       spark: SparkSession,
       indexDir: String,
@@ -122,34 +142,40 @@ object Deletes {
     require(snap.isComplete, "delete requires a complete index")
     val requested = bySeg.filter(_._2.nonEmpty)
     if (requested.isEmpty) return snap
-
-    // prior tombstones of the affected segments only (pushed-down scan)
-    val prior: Map[Int, Array[Long]] = spark.read
-      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
-      .filter(col("term") === IndexBuilder.TermDels &&
-        col("segId").isin(requested.keys.toSeq: _*))
-      .as[PostingRow].collect()
-      .groupBy(_.segId)
-      .map { case (s, rows) =>
-        s -> rows.flatMap(r => IndexBuilder.decodePostings(r)._1).distinct
-      }
-
-    var newlyDead = 0L
-    val rows = requested.toSeq.sortBy(_._1).map { case (seg, ids) =>
-      val old = prior.getOrElse(seg, Array.emptyLongArray)
-      // set-based dedup: Array.contains here would be O(|old| x |ids|) —
-      // quadratic driver time when two large delete-by-query calls overlap
-      val oldSet = old.toSet
-      newlyDead += ids.distinct.count(!oldSet.contains(_))
-      val all = (old ++ ids).distinct.sorted
-      IndexBuilder.encodeDocIdSet(seg, all, snap.blockSize)
-    }
-    if (newlyDead == 0) return snap
-
+    val affected = requested.keys.toSeq
+    val bs = snap.blockSize
     val newId = snap.id + 1
     val rel = f"data/del-$newId%05d"
-    spark.createDataset(rows).coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/$rel")
+    val out = s"$indexDir/$rel"
+
+    // newest prior tombstone row per affected segment (pushed-down scan;
+    // rows stay varint-encoded through the shuffle)
+    val priorNewest = spark.read
+      .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
+      .filter(col("term") === IndexBuilder.TermDels &&
+        col("segId").isin(affected: _*))
+      .as[PostingRow]
+      .groupByKey(_.segId)
+      .reduceGroups((a, b) => if (a.df >= b.df) a else b)
+
+    val reqDs = spark.createDataset(
+      requested.toSeq.map { case (s, ids) => (s, ids.distinct.sorted) })
+    reqDs.joinWith(priorNewest, reqDs("_1") === priorNewest("key"), "left_outer")
+      .map { case ((seg, ids), prior) =>
+        val oldIt = Option(prior).map(p => IndexBuilder.docIdStream(p._2))
+          .getOrElse(Iterator.empty)
+        IndexBuilder.encodeDocIdStream(seg,
+          graft.search.MatchEnum.mergeDistinct(Seq(ids.iterator, oldIt)), bs)
+      }
+      .write.mode("overwrite").parquet(out)
+
+    val writtenDead = spark.read.parquet(out)
+      .agg(coalesce(sum("df"), lit(0L))).as[Long].head()
+    val newlyDead = writtenDead - priorDeadCount(spark, indexDir, snap, affected)
+    if (newlyDead == 0) { // every requested id was already dead
+      deleteDir(out)
+      return snap
+    }
     val neu = snap.copy(id = newId, parent = snap.id,
       dataDirs = snap.dataDirs :+ rel,
       deletedDocs = snap.deletedDocs + newlyDead)
@@ -258,14 +284,21 @@ object Deletes {
     val terms: Iterator[PostingRow] = it.flatMap { r =>
       if (nDead == 0) Iterator.single(r)
       else {
-        val (ids, tfs) = IndexBuilder.decodePostings(r)
-        val keep = ids.indices.filterNot(j => dead.get((ids(j) - segB - 1).toInt))
-        if (keep.isEmpty) Iterator.empty
-        else if (keep.size == ids.length) Iterator.single(r)
+        // streaming pass 1: survivor count decides drop / keep-as-is /
+        // re-encode. A stopword row can cover ~all docs of the segment —
+        // decodePostings would allocate O(df) arrays in-task (the same
+        // executor-OOM class the tombstone paths stream around); two cheap
+        // varint passes keep the rewrite O(block metadata).
+        var keepCnt = 0L
+        IndexBuilder.docIdStream(r).foreach(d =>
+          if (!dead.get((d - segB - 1).toInt)) keepCnt += 1)
+        if (keepCnt == 0L) Iterator.empty
+        else if (keepCnt == r.df) Iterator.single(r)
         else Iterator.single(IndexBuilder.encodeRun(segId, r.term,
-          keep.iterator.map { j =>
-            (ids(j), tfs(j), lens((ids(j) - segB - 1).toInt))
-          }, blockSize))
+          IndexBuilder.postingStream(r)
+            .filter { case (id, _) => !dead.get((id - segB - 1).toInt) }
+            .map { case (id, tf) => (id, tf, lens((id - segB - 1).toInt)) },
+          blockSize))
       }
     }
     markers ++ terms

@@ -727,6 +727,24 @@ object IndexBuilder {
       def next(): Long = { prev += dr.readLong(); i += 1; prev }
     }
 
+  /** Lazy (docId, tf) stream over one posting row — the streaming
+    * counterpart of [[decodePostings]] for REWRITING corpus-sized rows
+    * (purge re-encode): a stopword term's row can cover ~all docs of a
+    * segment, and decodePostings would allocate O(df) Long/Int arrays
+    * in-task. Pairs with [[encodeRun]] for an O(block) rewrite. */
+  private[graft] def postingStream(r: PostingRow): Iterator[(Long, Int)] =
+    new Iterator[(Long, Int)] {
+      private val n = r.df.toInt
+      private val dr = new Varint.Reader(r.docBytes, 0)
+      private val tr = new Varint.Reader(r.tfBytes, 0)
+      private var prev = segBase(r.segId)
+      private var i = 0
+      def hasNext: Boolean = i < n
+      def next(): (Long, Int) = {
+        prev += dr.readLong(); i += 1; (prev, tr.readInt())
+      }
+    }
+
   /** Encode a sorted docId set as a TermDels tombstone row (tf/doclen are
     * 1-filled — tombstones are exclusion cursors, never scored). */
   private[graft] def encodeDocIdSet(

@@ -43,10 +43,7 @@ object BooleanScorer {
       "conjunctiveTopK needs a required clause; use Wand for pure-should")
     if (k <= 0) return Array.empty
 
-    implicit val worstFirst: Ordering[SegHit] = (a: SegHit, b: SegHit) => {
-      val c = java.lang.Double.compare(b.score, a.score)
-      if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
-    }
+    implicit val worstFirst: Ordering[SegHit] = SegHit.worstFirst
     val heap = mutable.PriorityQueue.empty[SegHit]
     def theta: Double =
       if (heap.size < k) Double.NegativeInfinity else heap.head.score

@@ -169,7 +169,7 @@ private[search] object BoolEval {
   * required clauses, k-way union for pure-should, ids allowlist) but emit
   * ALL matches lazily — nothing is ranked, heaped, or collected, so the
   * tombstone sink can stream corpus-sized match sets segment-parallel. */
-private[search] object MatchEnum {
+private[graft] object MatchEnum {
 
   def enumerate(
       segId: Int,

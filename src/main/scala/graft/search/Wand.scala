@@ -17,6 +17,17 @@ object SegHit {
   /** The public (score, docId) cursor tuple as the scorers' SegHit form. */
   def fromCursor(after: Option[(Double, Long)]): SegHit =
     after.map { case (s, d) => SegHit(d, s) }.orNull
+
+  /** Heap ordering — the dual of [[strictlyAfter]] under the same global
+    * (score desc, docId asc) order: in a min-heap the head is the WEAKEST
+    * kept hit, so smaller score compares "greater", and at equal score the
+    * larger docId is the weaker hit. One home, like the cursor predicate:
+    * the WAND and conjunctive scorers share it so the two query shapes
+    * cannot desynchronize at page boundaries. */
+  val worstFirst: Ordering[SegHit] = (a: SegHit, b: SegHit) => {
+    val c = java.lang.Double.compare(b.score, a.score)
+    if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
+  }
 }
 
 /** Document-at-a-time block-max WAND top-k over one segment's posting
@@ -69,10 +80,7 @@ object Wand {
     if (n == 0 || k <= 0) return Array.empty
 
     // min-heap on (score asc, docId desc): head = weakest kept hit
-    implicit val worstFirst: Ordering[SegHit] = (a: SegHit, b: SegHit) => {
-      val c = java.lang.Double.compare(b.score, a.score) // smaller score = "greater"
-      if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
-    }
+    implicit val worstFirst: Ordering[SegHit] = SegHit.worstFirst
     val heap = mutable.PriorityQueue.empty[SegHit]
     def theta: Double =
       if (heap.size < k) Double.NegativeInfinity else heap.head.score

@@ -122,11 +122,12 @@ class DeleteSpec extends SparkSuite {
 
   test("tombstone-volume pressure: 10^6 ids/segment consolidates in bounded time") {
     // deleteDocIds consolidates PRIOR tombstones of the affected segments
-    // on the driver (bounded by prior tombstone volume — purge is the
-    // pressure valve). Pin that bound with measured numbers: 4 segments x
-    // 10^6 ids, then a second overlapping mass delete that must merge
-    // against the full prior volume. (Ids need not resolve to live docs —
-    // tombstones are exclusion cursors, encoding is what is under test.)
+    // executor-side, streaming over encoded bytes (bounded by tombstone
+    // bytes per task — purge is the pressure valve). Pin that bound with
+    // measured numbers: 4 segments x 10^6 ids, then a second overlapping
+    // mass delete that must merge against the full prior volume. (Ids need
+    // not resolve to live docs — tombstones are exclusion cursors,
+    // encoding is what is under test.)
     val dir = freshIndex()
     val perSeg = 1000000
     def ids(seg: Int, offset: Int): Array[Long] =
