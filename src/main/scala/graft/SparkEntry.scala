@@ -636,6 +636,17 @@ object SparkEntry {
       }.takeWhile(_.nonEmpty).take(3).toSeq
       hitsToDocIds(s, pages.flatten.toArray, withScore = true)
     }),
+    // ES track_total_hits=true / Search.count() (the reference sets it on
+    // every lookup and scan, mrtarget/modules/SearchObjects.py:289,334):
+    // exact count of live docs matching the q32 bool query — enumerated
+    // segment-parallel, no scoring, no k, O(segments) longs to the driver.
+    // Oracle: the q32 candidate CTE, counted.
+    "q53_track_total" -> ((s, d) => {
+      import s.implicits._
+      Seq(Searcher.count(s, documentsIndex(s, d), BoolQuery(
+        must = Seq("data", "spark"), should = Seq("merge", "window"),
+        filter = Seq("table"), mustNot = Seq("slow")))).toDF("total")
+    }),
 
     // ---- delete lifecycle (Deletes.scala): soft-deleted docs excluded
     // with Lucene stats semantics (q39), then expunged so stats re-derive
@@ -1054,6 +1065,18 @@ object SparkEntry {
       s"""$Bm25ScoreCte
          SELECT doc_id, round(score,6) AS score FROM
            (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 21)""",
+    // q53: exact total-hit count of the q32 bool query (ES
+    // track_total_hits) — the q32 candidate membership CTE, counted
+    "q53_track_total" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                       FROM documents),
+         cand AS (
+           SELECT DISTINCT t.doc_id FROM toks t
+           WHERE EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='data')
+             AND EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='spark')
+             AND EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='table')
+             AND NOT EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='slow'))
+         SELECT count(*) AS total FROM cand""",
     // NB: the top-20 cuts order by the UNROUNDED score (inner query), exactly
     // like the engine ranks by the exact double — rounding happens after the
     // cut on both sides, so a <5e-7 boundary tie cannot flip the doc set.

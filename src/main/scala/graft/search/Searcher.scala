@@ -41,6 +41,11 @@ object Searcher {
       after: Option[(Double, Long)]): Array[Hit] =
     new IndexHandle(spark, indexDir, warm = false).searchAfter(q, k, after)
 
+  /** Exact total-hit count (see IndexHandle.countMatches): ES
+    * `track_total_hits=true` / `Search.count()`. */
+  def count(spark: SparkSession, indexDir: String, q: BoolQuery): Long =
+    new IndexHandle(spark, indexDir, warm = false).countMatches(q)
+
   /** DataFrame form for SparkEntry / driver smoke checks. */
   def topKDF(spark: SparkSession, indexDir: String, query: String, k: Int): DataFrame = {
     import spark.implicits._
@@ -747,6 +752,38 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           Iterator.single(IndexBuilder.encodeDocIdStream(segId, merged, bs))
         }
     }
+  }
+
+  /** Exact live-match count for `q` (the ES `track_total_hits=true` /
+    * `Search.count()` contract, mrtarget/modules/SearchObjects.py:289,334):
+    * each candidate segment enumerates its matches with the same cursor
+    * machinery the scorers use (deleted docs are exclusion cursors) and
+    * emits ONE Long — no scoring, no k, and only O(segments) counts cross
+    * to the driver. */
+  def countMatches(q: BoolQuery): Long = {
+    import spark.implicits._
+    val c = compile(q) match {
+      case None => return 0L
+      case Some(x) => x
+    }
+    val bs = blockSize
+    val wanted: Seq[String] =
+      IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
+    val byTerm = postings.filter(col("term").isin(wanted: _*))
+    val filtered =
+      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
+      else byTerm
+    filtered.groupByKey(_.segId)
+      .mapGroups { (segId: Int, it: Iterator[PostingRow]) =>
+        val rows = it.toSeq
+        val dels = rows.filter(_.term == IndexBuilder.TermDels)
+        val terms = rows.filter(r =>
+          r.term != IndexBuilder.TermDels && r.term != IndexBuilder.TermLens)
+        var n = 0L
+        MatchEnum.enumerate(segId, terms, dels, c, bs).foreach(_ => n += 1)
+        n
+      }
+      .select(coalesce(sum(col("value")), lit(0L))).as[Long].head()
   }
 
   /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on

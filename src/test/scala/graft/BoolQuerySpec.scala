@@ -170,4 +170,20 @@ class BoolQuerySpec extends SparkSuite {
     assert(Searcher.topK(spark, dir, "data spark merge", 5).toSeq ===
       handle.search(BoolQuery.text("data spark merge"), 5).toSeq)
   }
+
+  test("countMatches: exact total hits (track_total_hits) on the known corpus") {
+    // pinned counts, and identity with the search path's match set size
+    val qs = Seq(
+      BoolQuery(must = Seq("data", "merge")) -> 2L, // p0, p4
+      BoolQuery(must = Seq("data", "spark"), should = Seq("merge", "window"),
+        filter = Seq("table"), mustNot = Seq("slow")) -> 2L, // p0, p4
+      BoolQuery(should = Seq("merge", "window")) -> 5L, // p0-p4
+      BoolQuery(must = Seq("nosuchterm")) -> 0L,
+      BoolQuery(ids = Some(Seq("https://t.org/p/0", "https://t.org/p/5")),
+        filter = Seq("data")) -> 1L) // p5 has no 'data'
+    qs.foreach { case (q, want) =>
+      assert(handle.countMatches(q) === want, q)
+      assert(handle.search(q, docs.size + 1).length.toLong === want, q)
+    }
+  }
 }

@@ -51,6 +51,16 @@ class DeleteSpec extends SparkSuite {
     assert(again.id === snap.id)
   }
 
+  test("track_total_hits: count is live-doc exact and shrinks with deletes") {
+    val dir = freshIndex()
+    val q = BoolQuery(filter = Seq("data"))
+    val matching = urlsContaining("data")
+    assert(Searcher.count(spark, dir, q) === matching.size.toLong)
+    val victims = matching.toSeq.sorted.take(3)
+    Deletes.delete(spark, dir, victims)
+    assert(Searcher.count(spark, dir, q) === (matching.size - 3).toLong)
+  }
+
   test("warm and served paths honor tombstones; ids of a deleted url gone") {
     val dir = freshIndex()
     val deleted = docs.map(_._1).take(40).toSet
