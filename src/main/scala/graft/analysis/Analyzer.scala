@@ -111,10 +111,17 @@ object Analyzer extends Serializable {
     out.toArray
   }
 
-  /** "onechunk"/fingerprint analyzer of the reference (gen_settings.json:36-44):
-    * keyword tokenizer -> lowercase -> fingerprint (sorted unique tokens). */
+  /** "onechunk"/fingerprint analyzer of the reference (gen_settings.json:
+    * 36-44): keyword tokenizer -> lowercase -> asciifolding -> fingerprint
+    * filter. A keyword tokenizer emits the WHOLE text as one token, so the
+    * fingerprint filter's sort/dedup is an identity and the chain reduces
+    * to lowercase + asciifold of the full string — the reference uses it
+    * to normalize entity labels for exact keyword matching. (Bag-of-words
+    * content fingerprinting is a different operator:
+    * TextOps.fingerprintExpr, oracled as q12.) */
   def fingerprint(text: String): String =
-    tokenize(text).distinct.sorted.mkString(" ")
+    graft.functions.Normalize.nfkdAscii(
+      text.toLowerCase(java.util.Locale.ROOT))
 
   // ---- Catalyst-facing entry points (called from generated code) ----
 

@@ -19,8 +19,9 @@ import graft.index.{IndexBuilder, SnapshotMeta}
   *    index (same dual-route shape as ops.Routing / reference
   *    Evidences.py:290-308)
   *  - [[refreshIndex]]: fold a new crawl into an existing index —
-  *    lang-filter, validate, latest-per-url, then `IndexBuilder.upsert`
-  *    (recrawled urls tombstone their old version, new urls append)
+  *    lang-filter, latest-per-url, validate, then `IndexBuilder.upsert`
+  *    (recrawled urls tombstone their old version, new urls append; a url
+  *    whose newest capture is corrupt keeps its indexed edition)
   *
   * All stages are single-exchange column pipelines: the window in
   * latestPerUrl shuffles on url once; validation is a narrow map. */
@@ -33,17 +34,19 @@ object Ingest {
     * columns so the winner is a pure function of the row set — two rows
     * equal on (warc_ts, html) but differing in text/lang (a capture that
     * lost a column) must not flap with partition order across replays.
-    * Each column is presence-tagged before concatenation: concat_ws SKIPS
-    * null arguments, so without the tag a row with (text=x, lang=null)
-    * would hash identically to (text=null, lang=x) -- reintroducing the
-    * partition-order flap for exactly the lost-column captures this
-    * tie-break exists for. */
+    * Every column is reduced to a presence-tagged FIXED-WIDTH digest
+    * before concatenation: (a) a skipped/untagged null would let
+    * (text=x, lang=null) hash identically to (text=null, lang=x); (b) a
+    * raw variable-length value containing the separator byte would make
+    * the concatenation ambiguous across column boundaries — and corrupt
+    * captures with control characters are exactly the rows this tie-break
+    * exists for. Per-column md5 first removes both. */
   def latestPerUrl(raw: DataFrame): DataFrame = {
     def tagged(c: Column): Column =
-      when(c.isNull, lit("0")).otherwise(concat(lit("1"), c))
+      when(c.isNull, lit("0")).otherwise(concat(lit("1"), md5(c)))
     val w = Window.partitionBy(col("url"))
       .orderBy(col("warc_ts").desc,
-        md5(concat_ws("\u0000", tagged(md5(col("html"))),
+        md5(concat(tagged(col("html")),
           tagged(col("text")), tagged(col("lang")))).asc)
     raw.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -65,10 +68,25 @@ object Ingest {
       tagged.filter(col("explanation").isNotNull).drop("_extracted"))
   }
 
+  /** Latest-edition-THEN-validate: pick each url's newest capture first,
+    * then enforce the extraction invariant — a url whose NEWEST capture is
+    * corrupt is dropped from the batch entirely, so the index keeps the
+    * edition it already serves. The reverse order (validate, then latest)
+    * would resurrect an older valid edition and upsert it over newer
+    * already-indexed content — silently rolling the index back in time.
+    * Newest-wins is a per-URL contract, not a per-valid-row one. As a
+    * bonus, the extract UDF runs only on winners, not on every edition.
+    * Returns the (url, text) upsert batch; both ingest paths (batch
+    * [[refreshIndex]] and streaming IndexStream.refreshBatch) go through
+    * here so the ordering cannot desync. */
+  def prepareBatch(raw: DataFrame): DataFrame =
+    extractValidate(latestPerUrl(raw))._1.select("url", "text")
+
   /** Ingest a crawl batch into `indexDir`: keep `langs` (empty set = all),
-    * enforce the extraction invariant, latest-edition-per-url, then upsert.
-    * Returns the committed snapshot. The caller routes `invalid` rows from
-    * [[extractValidate]] separately if it needs the reject channel. */
+    * latest-edition-per-url, enforce the extraction invariant, then upsert
+    * (see [[prepareBatch]] for why in that order). Returns the committed
+    * snapshot. The caller routes `invalid` rows from [[extractValidate]]
+    * separately if it needs the reject channel. */
   def refreshIndex(
       spark: SparkSession,
       rawCrawl: DataFrame,
@@ -77,11 +95,10 @@ object Ingest {
     val scoped =
       if (langs.isEmpty) rawCrawl
       else rawCrawl.filter(col("lang").isin(langs.toSeq: _*))
-    val (valid, _) = extractValidate(scoped)
     // persisted: the extract UDF + latest-per-url window otherwise
     // re-execute for the isEmpty probe, upsert's tombstone-match join and
     // the append scan — 3x the ingest cost per refresh
-    val batch = latestPerUrl(valid).select("url", "text").persist()
+    val batch = prepareBatch(scoped).persist()
     try {
       // a batch emptied by scoping/validation must not commit a generation
       // of empty segments plus a full termdict rebuild

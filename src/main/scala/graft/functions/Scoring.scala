@@ -35,7 +35,11 @@ object Scoring {
   }
 
   /** Column form; ranges are literals like the reference's per-datasource
-    * config, so the expression constant-folds. */
+    * config, so the expression constant-folds. NULL in → NULL out: without
+    * the explicit gate, least/greatest SKIP null arguments (they don't
+    * propagate), so a missing measurement would silently become the range
+    * lower bound under cap=true — and the delta1==0 branch would turn it
+    * into a constant. */
   def renormalizeExpr(n: Column, startRange: (Double, Double),
       newRange: (Double, Double), cap: Boolean = true): Column = {
     val delta1 = startRange._2 - startRange._1
@@ -45,10 +49,12 @@ object Scoring {
         if (delta1 == 0.0) lit(newRange._1)
         else lit(delta2) * (n - lit(startRange._1)) / lit(delta1) + lit(newRange._1)
       } else n
-    if (cap)
-      least(lit(math.max(newRange._1, newRange._2)),
-        greatest(lit(math.min(newRange._1, newRange._2)), normalized))
-    else normalized
+    val capped =
+      if (cap)
+        least(lit(math.max(newRange._1, newRange._2)),
+          greatest(lit(math.min(newRange._1, newRange._2)), normalized))
+      else normalized
+    when(n.isNull, lit(null).cast("double")).otherwise(capped)
   }
 
   def pValueToScoreLinear(pvalue: Double, rangeMin: Double = 1.0,
@@ -57,22 +63,36 @@ object Scoring {
     renormalize(log(pvalue), (log(rangeMin), log(rangeMax)), (outMin, outMax))
   }
 
+  /** NULL p-value → NULL score: `pvalue > 0` evaluates to NULL for a NULL
+    * input, which `otherwise` would route to log10(rangeMax) — i.e. a
+    * missing measurement scoring as the MAXIMUM — without the gate. */
   def pValueToScoreExpr(pvalue: Column, rangeMin: Double = 1.0,
       rangeMax: Double = 1e-10, outMin: Double = 0.0, outMax: Double = 1.0): Column =
-    renormalizeExpr(
-      when(pvalue > 0, log10(pvalue)).otherwise(lit(math.log10(rangeMax))),
-      (math.log10(rangeMin), math.log10(rangeMax)), (outMin, outMax))
+    when(pvalue.isNull, lit(null).cast("double")).otherwise(
+      renormalizeExpr(
+        when(pvalue > 0, log10(pvalue)).otherwise(lit(math.log10(rangeMax))),
+        (math.log10(rangeMin), math.log10(rangeMax)), (outMin, outMax)))
 
-  /** numpy-compatible half-even rounding to `precision` decimals. */
+  /** Half-even rounding over the SHORTEST-DECIMAL representation of `v`
+    * (scala BigDecimal(Double) semantics) — deliberately the same basis as
+    * Spark's `bround`, so the scalar and Column twins agree bit-for-bit.
+    * NOT numpy-identical at exact decimal halves: numpy rounds the exact
+    * BINARY value (0.0015 is 0.001499…9 in binary → numpy gives 0.001,
+    * string-based half-even gives 0.002). Engine-internal parity wins; the
+    * divergence only exists where the shortest repr lands exactly on a
+    * half, and ScoringSpec's reference goldens avoid those. */
   private def roundHalfEven(v: Double, precision: Int): Double =
     BigDecimal(v).setScale(precision, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
   def sigmoidScaling(value: Double, midValue: Double = 100.0, precision: Int = 3): Double =
-    roundHalfEven(2.0 / (1.0 + math.exp(1.0 / midValue * (value - 1.0))), precision)
+    roundHalfEven(2.0 / (1.0 + math.exp((value - 1.0) / midValue)), precision)
 
-  /** bround = HALF_EVEN, matching numpy's rounding in the reference. */
+  /** bround = HALF_EVEN over the same decimal basis as [[roundHalfEven]].
+    * The exponent is (v−1)/mid exactly as the reference writes it
+    * (common/Scoring.py:86-90) — multiplying by the reciprocal instead
+    * differs by ULPs (70·0.01 ≠ 70/100 in IEEE). */
   def sigmoidScalingExpr(value: Column, midValue: Double = 100.0, precision: Int = 3): Column =
-    bround(lit(2.0) / (lit(1.0) + exp(lit(1.0 / midValue) * (value - lit(1.0)))), precision)
+    bround(lit(2.0) / (lit(1.0) + exp((value - lit(1.0)) / lit(midValue))), precision)
 
   /** The reference's per-datasource scoring dispatch
     * (common/EvidenceString.py:570-748): each datasource selects its own
@@ -90,8 +110,15 @@ object Scoring {
         when(v < 100.0, lit(0.1)).when(v < 300.0, lit(0.5)).otherwise(lit(1.0)))
       .otherwise(sigmoidScalingExpr(v))
 
-  /** Content-addressed document id: md5 of the canonical (sorted-key) JSON,
-    * as the reference derives evidence ids (mrtarget/modules/Evidences.py:
-    * 127-132). Field order is pinned by the struct schema. */
-  def canonicalId(cols: Column*): Column = md5(to_json(struct(cols: _*)))
+  /** Content-addressed document id: md5 of the canonical JSON, as the
+    * reference derives evidence ids with json.dumps(sort_keys=True)
+    * (mrtarget/modules/Evidences.py:127-132). Canonical means (a) keys in
+    * sorted order — enforced here by sorting the NAMED fields, not trusting
+    * call-site order — and (b) null fields serialized as `"k":null` (the
+    * Python behavior); Spark's to_json default DROPS null fields, which
+    * would let {a:1,b:null} and {a:1} collide. */
+  def canonicalId(fields: (String, Column)*): Column = {
+    val sorted = fields.sortBy(_._1).map { case (k, c) => c.as(k) }
+    md5(to_json(struct(sorted: _*), Map("ignoreNullFields" -> "false")))
+  }
 }

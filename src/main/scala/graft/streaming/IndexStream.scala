@@ -226,10 +226,7 @@ object IndexStream {
     // otherwise re-executes for the isEmpty probe, the upsert's
     // tombstone-match join AND the append scan — 3x the extraction cost
     // per micro-batch on the streaming hot path
-    val processed = graft.corpus.Ingest
-      .latestPerUrl(graft.corpus.Ingest.extractValidate(scoped)._1)
-      .select("url", "text")
-      .persist()
+    val processed = graft.corpus.Ingest.prepareBatch(scoped).persist()
     try {
       // a batch emptied by lang scoping / validation must not commit a
       // generation of empty segments (plus a full termdict rebuild) — but

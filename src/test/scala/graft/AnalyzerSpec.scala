@@ -67,7 +67,10 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(g.forall(x => x.length >= 4 && x.length <= 10))
   }
 
-  test("fingerprint analyzer: sorted unique tokens") {
-    assert(Analyzer.fingerprint("b a b A c") === "a b c")
+  test("fingerprint/onechunk analyzer: keyword chain = lowercase + asciifold") {
+    // keyword tokenizer: ONE token — no splitting, no dedup across words
+    assert(Analyzer.fingerprint("b a b A c") === "b a b a c")
+    assert(Analyzer.fingerprint("Café Déjà-Vu") === "cafe deja-vu")
+    assert(Analyzer.fingerprint("") === "")
   }
 }

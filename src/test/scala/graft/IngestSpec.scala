@@ -87,6 +87,36 @@ class IngestSpec extends SparkSuite {
       crawl0.zipWithIndex.collect { case (p, i) if i % 3 == 0 => p.url }.toSet)
   }
 
+  test("a url whose NEWEST capture is corrupt keeps its indexed edition") {
+    // crawl 1 re-captures url U with a corrupt (truncated-html) newest
+    // edition AND carries an older valid edition: prepareBatch must drop U
+    // (newest-wins is per url), so the index keeps serving crawl-0's text —
+    // validating before latest-per-url would resurrect the older valid
+    // edition and roll the index back in time
+    val u = crawl0.head
+    val olderValid = u.copy(
+      warc_ts = new Timestamp(u.warc_ts.getTime - 86400000L))
+    val newestCorrupt = {
+      val t = u.text + " zznewest"
+      u.copy(warc_ts = new Timestamp(u.warc_ts.getTime + 86400000L),
+        html = Html.wrap(u.url, t).take(10), text = t) // truncated capture
+    }
+    val batch = Ingest.prepareBatch(
+      Seq(olderValid, newestCorrupt).toDF())
+    assert(batch.count() === 0L, "corrupt-newest url must drop from the batch")
+
+    val dir = Files.createTempDirectory("graft-ingest-corrupt").toString
+    IndexBuilder.build(spark,
+      crawl0.toDF().select("url", "text"), dir, cfg)
+    val before = Snapshot.latest(dir).get
+    val after = Ingest.refreshIndex(spark,
+      Seq(olderValid, newestCorrupt).toDF(), dir)
+    assert(after.id === before.id, "empty batch must not commit")
+    // the indexed edition still serves crawl-0 content
+    val hits = Searcher.search(spark, dir, BoolQuery(ids = Some(Seq(u.url))), 5)
+    assert(hits.length === 1)
+  }
+
   test("lang scoping: refreshIndex indexes only the requested languages") {
     val dir = Files.createTempDirectory("graft-ingest-lang").toString
     val en = crawl0.filter(_.lang == "en")

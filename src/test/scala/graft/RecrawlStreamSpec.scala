@@ -76,8 +76,7 @@ class RecrawlStreamSpec extends SparkSuite {
     val idxDir = Files.createTempDirectory("graft-rs-foreign").toString
     IndexStream.refreshBatch(spark, idxDir, cfg)(crawl0.toDF(), 0L)
     // crash mid-append of batch 1 under the original lineage
-    val processed = Ingest.latestPerUrl(
-      Ingest.extractValidate(crawl1.toDF())._1).select("url", "text")
+    val processed = Ingest.prepareBatch(crawl1.toDF())
     IndexBuilder.append(spark, processed, idxDir,
       simulateOnlySegments = Some(Set(4, 5)))
     assert(!Snapshot.latest(idxDir).get.isComplete)
@@ -99,8 +98,7 @@ class RecrawlStreamSpec extends SparkSuite {
     assert(Snapshot.latest(idxDir).get.id === s1.id)
 
     // crash scenario for batch 1: tombstones committed, append half-done
-    val processed = Ingest.latestPerUrl(
-      Ingest.extractValidate(crawl1.toDF())._1).select("url", "text")
+    val processed = Ingest.prepareBatch(crawl1.toDF())
     val h = new IndexHandle(spark, idxDir, warm = false)
     val dead = h.resolveDocIds(crawl1.map(_.url).filter(u =>
       crawl0.exists(_.url == u)))
@@ -157,8 +155,7 @@ class RecrawlStreamSpec extends SparkSuite {
     // foreign stream B's half-appended batch (content A never saw)
     val foreign = Corpus.pages(spark, 40, seed = 77, vocabSize = 300,
       medianLen = 30, startId = 5000).collect().toSeq
-    val processedB = Ingest.latestPerUrl(
-      Ingest.extractValidate(foreign.toDF())._1).select("url", "text")
+    val processedB = Ingest.prepareBatch(foreign.toDF())
     IndexBuilder.append(spark, processedB, idxDir,
       simulateOnlySegments = Some(Set(4, 5)))
     assert(!Snapshot.latest(idxDir).get.isComplete)

@@ -57,9 +57,22 @@ class ScoringSpec extends SparkSuite {
     }
   }
 
-  test("canonical id is stable under field-order pinning") {
+  test("canonical id: key-order independent, null fields serialized") {
     val df = Seq((1L, "a"), (1L, "a")).toDF("x", "y")
-    val ids = df.select(Scoring.canonicalId(col("x"), col("y"))).collect()
+    val ids = df.select(Scoring.canonicalId("x" -> col("x"), "y" -> col("y"))).collect()
     assert(ids(0) === ids(1))
+    // sort_keys=True semantics: call-site order must not matter
+    val swapped = df.select(Scoring.canonicalId("y" -> col("y"), "x" -> col("x"))).collect()
+    assert(swapped(0) === ids(0))
+    // a null field must participate in the id ({a:1,b:null} != {a:1,b:"a"})
+    val withNull = Seq((1L, null: String)).toDF("x", "y")
+      .select(Scoring.canonicalId("x" -> col("x"), "y" -> col("y"))).collect()
+    assert(withNull(0) !== ids(0))
+    // and two rows differing only in WHICH field is null must not collide
+    val n1 = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+    val n2 = Seq((None: Option[Long], Some(1L))).toDF("x", "y")
+    val h1 = n1.select(Scoring.canonicalId("x" -> col("x"), "y" -> col("y"))).head()
+    val h2 = n2.select(Scoring.canonicalId("x" -> col("x"), "y" -> col("y"))).head()
+    assert(h1 !== h2)
   }
 }
