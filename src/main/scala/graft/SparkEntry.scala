@@ -348,7 +348,8 @@ object SparkEntry {
     // source are null (concat would null-propagate the whole xml) or carry
     // identity-breaking controls are excluded SYMMETRICALLY on both sides
     // — the driver corpus has none, so the filter is an invariant guard,
-    // not a row change. The class is \x00-\x08 and \x0B-\x1F: tab/LF
+    // not a row change (n_chars is concat'd too, so its null joins the
+    // same symmetric exclusion). The class is \x00-\x08 and \x0B-\x1F: tab/LF
     // round-trip; CR does NOT (xmlEscape keeps it but XML 1.0 parsers
     // MUST normalize CR to LF), so it is excluded alongside the chars
     // xmlEscape strips.
@@ -356,6 +357,7 @@ object SparkEntry {
       val c0 = "[\\x00-\\x08\\x0B-\\x1F]"
       val docs = t(s, d, "documents")
         .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull &&
           !col("lang").rlike(c0) && !col("source").rlike(c0))
       val xml = docs.select(col("doc_id"),
         concat(lit("<doc><lang>"), XmlSource.xmlEscape(col("lang")),
@@ -916,6 +918,7 @@ object SparkEntry {
     "q45_xml_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE lang IS NOT NULL AND source IS NOT NULL
+           AND n_chars IS NOT NULL
            AND NOT regexp_matches(lang, '[\x00-\x08\x0B-\x1F]')
            AND NOT regexp_matches(source, '[\x00-\x08\x0B-\x1F]')""",
     // transitive ancestor closure recomputed with a recursive CTE; d DESC
@@ -1081,7 +1084,7 @@ object SparkEntry {
     // like the engine ranks by the exact double — rounding happens after the
     // cut on both sides, so a <5e-7 boundary tie cannot flip the doc set.
     "q32_bool_query" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                        FROM documents),
          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
          st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
@@ -1096,9 +1099,7 @@ object SparkEntry {
          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
                 WHERE term IN ('data','merge','spark','window') GROUP BY 1),
          sc AS (SELECT tf.doc_id,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                  ${Bm25ScoreExprSql}
                     AS score
                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
                 WHERE tf.doc_id IN (SELECT doc_id FROM cand)
@@ -1169,9 +1170,7 @@ object SparkEntry {
                 WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
                 GROUP BY 1),
          sc AS (SELECT tf.doc_id,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                  ${Bm25ScoreExprSql}
                     AS score
                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
                 WHERE tf.doc_id NOT IN (SELECT doc_id FROM del)
@@ -1195,9 +1194,7 @@ object SparkEntry {
                 WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
                 GROUP BY 1),
          sc AS (SELECT tf.doc_id,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                  ${Bm25ScoreExprSql}
                     AS score
                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
                 GROUP BY 1)
@@ -1229,9 +1226,7 @@ object SparkEntry {
                    WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")}))
                 GROUP BY 1),
          sc AS (SELECT tf.doc_id, tf.isnew,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                  ${Bm25ScoreExprSql}
                     AS score
                 FROM tf JOIN df USING(term)
                      JOIN dl ON dl.doc_id = tf.doc_id AND dl.isnew = tf.isnew
@@ -1263,7 +1258,7 @@ object SparkEntry {
     // pure-filter semantics), hence the LEFT JOIN. Top-20 cut on the
     // UNROUNDED score like q21.
     "q51_field_search" ->
-      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l, lang
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS l, lang
                        FROM documents),
          ftoks AS (
            SELECT doc_id, 'title' AS f, unnest(l[1:5]) AS term FROM base
@@ -1277,9 +1272,7 @@ object SparkEntry {
          df AS (SELECT ft.f, ft.term, count(DISTINCT ft.doc_id) AS df FROM ftoks ft
                 JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2),
          sc AS (SELECT tf.doc_id,
-                  sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                       * tf.tf*2.2
-                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                  ${Bm25ScoreExprSql}
                     AS score
                 FROM tf JOIN df ON tf.f = df.f AND tf.term = df.term
                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
@@ -1331,6 +1324,17 @@ object SparkEntry {
   /** q21's whole BM25 scoring pipeline (toks -> dl -> st -> tf -> df ->
     * sc) over `documents`, shared verbatim with q49's decorated variant so
     * a scoring-constant change cannot diverge the two oracles. */
+  /** The ONE home of the BM25 scoring expression every oracle interpolates
+    * (ES 7.4 defaults k1=1.2, b=0.75 -> tf*(k1+1) = tf*2.2 and
+    * 1-b+b*dl/avgdl = 0.25 + 0.75*dl*n/sumdl): six oracles score with it
+    * (q21/q49/q52 via Bm25ScoreCte, q32, q39-q41, q51), so a scoring
+    * constant exists in exactly one string and cannot desynchronize one
+    * oracle from the rest. Expects CTE aliases tf/df/dl/st. */
+  private val Bm25ScoreExprSql =
+    """sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                       * tf.tf*2.2
+                       / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )"""
+
   private lazy val Bm25ScoreCte =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                       FROM documents),
@@ -1343,9 +1347,7 @@ object SparkEntry {
               WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(",")})
               GROUP BY 1),
        sc AS (SELECT tf.doc_id,
-                sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
-                     * tf.tf*2.2
-                     / (tf.tf + 1.2*(0.25 + 0.75*dl.dl*st.n/CAST(st.sumdl AS DOUBLE))) )
+                ${Bm25ScoreExprSql}
                   AS score
               FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
               GROUP BY 1)"""

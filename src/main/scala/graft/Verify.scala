@@ -20,6 +20,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure must read as MISSING, never as a prior run's (or a
+        // partially written) output: outDir may be reused across runs, and
+        // a stale complete parquet here would hash-compare as a false pass
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d)) graft.index.IndexBuilder.deleteTree(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -859,7 +859,7 @@ object IndexBuilder {
   /** Recursive directory delete (children before parents); no-op when the
     * path is absent. ONE home for the walk/reverse-order idiom — vacuum
     * and the delete sink both reclaim dirs through this. */
-  private[index] def deleteTree(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder())

@@ -21,6 +21,7 @@ object AnnSmoke {
   private val Dim = 64
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
     val n = args.headOption.map(_.toInt).getOrElse(500000)
     val clusters = 200
     val nlist = 256

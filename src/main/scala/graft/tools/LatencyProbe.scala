@@ -95,7 +95,7 @@ object LatencyProbe {
         (System.nanoTime() - t0) / 1e6
       }.sorted
       val p50 = lat(lat.length / 2)
-      val p95 = lat(math.min((lat.length * 95) / 100, lat.length - 1))
+      val p95 = graft.Bench.pctl(lat, 95) // nearest-rank, not max
       val jobMs = clock.totalMs.get().toDouble / queries.length
       val njobs = clock.jobs.get().toDouble / queries.length
       println(f"[probe] $label%-28s p50=$p50%7.1f ms  p95=$p95%7.1f ms  " +

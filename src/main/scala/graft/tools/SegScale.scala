@@ -25,6 +25,7 @@ import graft.search.{OracleSearch, Searcher}
 object SegScale {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val P = 4096
     val spark = Sessions.withMaster(SparkSession.builder(), "local[32]")
@@ -38,6 +39,7 @@ object SegScale {
       .cache()
     pages.count()
     val dir = Files.createTempDirectory("graft-segscale").toString
+    try {
     val t0 = System.nanoTime()
     val snap = IndexBuilder.build(spark, pages, dir,
       IndexConfig(numSegments = P, blockSize = 128))
@@ -66,5 +68,7 @@ object SegScale {
     println(f"""{"segscale_docs":$nDocs,"segments":$P,"build_sec":$secs%.1f,"docs_per_sec":${nDocs / secs}%.0f,"empty_segments":$emptySegs,"min_docs_per_seg":$minDocs,"max_docs_per_seg":$maxDocs,"rank_identity":$identical}""")
     Snapshot.latest(dir).foreach(s => require(s.termdictDir.nonEmpty))
     spark.stop()
+    // a 4096-segment index tree left in /tmp per run fills the shared VM
+    } finally scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 }
