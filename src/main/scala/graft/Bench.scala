@@ -26,18 +26,8 @@ import graft.search.IndexHandle
   */
 object Bench {
 
-  private def session(cpus: Int, localDir: String): SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.local.dir", localDir)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-  }
+  private def session(cpus: Int, localDir: String): SparkSession =
+    graft.tools.BenchHarness.session(s"graft-bench-$cpus", cpus, localDir)
 
   /** The fixed 20-query latency set — ONE home, shared with ServeBench so
     * the two benchmarks' p50/p95/QPS numbers stay comparable. */
@@ -47,14 +37,6 @@ object Bench {
     "posting shard segment score rank", "w100x w200x", "w999x", "data",
     "hash part line agg", "customer small big", "stream batch", "dup",
     "vector join", "term posting", "score rank", "index segment")
-
-  /** Nearest-rank percentile over a SORTED sample: the p-th percentile is
-    * the ceil(p/100*n)-th order statistic — index ceil(...)−1. The naive
-    * (n*p)/100 index reads the MAXIMUM as "p95" at n=20, which on a noisy
-    * shared host reports exactly the outlier a percentile exists to
-    * exclude. */
-  private[graft] def pctl(sorted: Seq[Double], p: Int): Double =
-    sorted(math.ceil(p / 100.0 * sorted.length).toInt - 1)
 
   def main(args: Array[String]): Unit = {
     // JSON output must parse anywhere: f"%.3f" uses the default locale,
@@ -71,7 +53,7 @@ object Bench {
     // always work (and later delete) a dedicated subdirectory, never the
     // user-supplied path itself — GRAFT_BENCH_TMP=/tmp must not wipe /tmp
     val baseRoot = sys.env.getOrElse("GRAFT_BENCH_TMP",
-      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp")
+      graft.tools.BenchHarness.tmpfsRoot)
     val base = s"$baseRoot/graft-bench"
     Files.createDirectories(Paths.get(base))
     val localDir = s"$base/spark-local"
@@ -80,10 +62,7 @@ object Bench {
     // ---- stage the corpus once (not timed)
     var spark = session(cpus, localDir)
     spark.sparkContext.setLogLevel("WARN")
-    val corpusDir = s"$base/corpus-$benchDocs"
-    if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
-      Corpus.pages(spark, benchDocs, seed = 42, numPartitions = 32)
-        .select("url", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpusDir = graft.tools.BenchHarness.stageCorpus(spark, base, benchDocs)
 
     // ---- build throughput: the N->4N efficiency is a RATIO, and the
     // dominant error source on this shared-host VM is machine-speed DRIFT
@@ -128,7 +107,7 @@ object Bench {
       if (i % 2 == 1) (buildOnce(4), buildOnce(16))
       else { val t16 = buildOnce(16); (buildOnce(4), t16) }
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    def median(xs: Seq[Double]): Double = graft.tools.BenchHarness.median(xs)
     val tp4 = benchDocs / median(pairs.map(_._1))
     val tp16 = benchDocs / median(pairs.map(_._2))
     // efficiency from paired ratios (drift-cancelling), not from the two
@@ -192,8 +171,8 @@ object Bench {
       handle.topK(q, 10)
       (System.nanoTime() - t0) / 1e6
     }.sorted
-    val p50 = lat(lat.length / 2)
-    val p95 = pctl(lat, 95)
+    val p50 = graft.tools.BenchHarness.pctl(lat, 50)
+    val p95 = graft.tools.BenchHarness.pctl(lat, 95)
     // hot-serving path (driver-memoized postings, rank-identical)
     benchQueries.foreach(q => handle.servedTopK(q, 10)) // populate caches
     val slat = benchQueries.map { q =>
@@ -201,8 +180,8 @@ object Bench {
       handle.servedTopK(q, 10)
       (System.nanoTime() - t0) / 1e6
     }.sorted
-    val sp50 = slat(slat.length / 2)
-    val sp95 = pctl(slat, 95)
+    val sp50 = graft.tools.BenchHarness.pctl(slat, 50)
+    val sp95 = graft.tools.BenchHarness.pctl(slat, 95)
     // hot-serving throughput under concurrency: 8 client threads hammer the
     // shared handle (thread safety spec'd in IndexSearchSpec) — the metric a
     // query-serving tier actually provisions against

@@ -52,9 +52,12 @@ object TextOps {
       octet_length(col(textCol)).as("n_bytes"))
   }
 
-  /** Fingerprint = md5 of the sorted distinct token set — the reference's
-    * "onechunk"/fingerprint analyzer (gen_settings.json:36-44) as one
-    * column expression. */
+  /** Bag-of-words content fingerprint: md5 of the sorted distinct
+    * whitespace-token set (the ES built-in `fingerprint` ANALYZER shape —
+    * standard-tokenize, sort, dedup, join — applied per document for
+    * near-dup detection; oracled as q12). NOT the reference's
+    * "onechunk" keyword chain, which never splits — that lives at
+    * Analyzer.fingerprint. */
   def fingerprintExpr(textCol: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(textCol), " ")))))
 

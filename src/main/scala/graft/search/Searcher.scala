@@ -767,8 +767,14 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case Some(x) => x
     }
     val bs = blockSize
+    // TermLens rides along ONLY for ids queries (it guarantees a group per
+    // candidate segment when no clause term has a posting row there);
+    // for term queries it would shuffle every segment's doc-length row —
+    // O(corpus) bytes — into a count that never reads lengths
     val wanted: Seq[String] =
-      IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
+      if (c.hasIds)
+        IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
+      else IndexBuilder.TermDels +: c.allTerms.toSeq
     val byTerm = postings.filter(col("term").isin(wanted: _*))
     val filtered =
       if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))

@@ -17,10 +17,7 @@ object BigSmoke {
     val docs = args.headOption.map(_.toLong).getOrElse(8000000L)
     val segments = args.lift(1).map(_.toInt).getOrElse(512)
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
-    val shm = // same fallback as Bench: not every host mounts /dev/shm
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
-      else System.getProperty("java.io.tmpdir")
-    val base = sys.env.getOrElse("GRAFT_SMOKE_TMP", shm) + "/graft-bigsmoke"
+    val base = sys.env.getOrElse("GRAFT_SMOKE_TMP", BenchHarness.tmpfsRoot) + "/graft-bigsmoke"
     Files.createDirectories(Paths.get(base))
     val spark = Sessions.withMaster(SparkSession.builder(), "local[32]")
       .appName("graft-bigsmoke")

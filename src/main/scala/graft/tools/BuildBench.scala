@@ -41,16 +41,8 @@ object BuildBench {
     val stages = sys.env.contains("GRAFT_STAGES")
 
     val results = cpus.map { n =>
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      val spark = SparkSession.builder()
-        .master(s"local[$n]")
-        .appName(s"graft-buildbench-$n")
-        .config("spark.sql.shuffle.partitions", n.toString)
-        .config("spark.local.dir",
-          sys.env.getOrElse("GRAFT_LOCAL_DIR", "/tmp"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      val spark = BenchHarness.session(s"graft-buildbench-$n", n,
+        sys.env.getOrElse("GRAFT_LOCAL_DIR", "/tmp"))
       spark.sparkContext.setLogLevel("WARN")
       // corpus staged to parquet once (not timed): the metric is docs/sec
       // indexed from a stored table, and keeping generation out of the

@@ -38,35 +38,22 @@ object LatencyProbe {
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("GRAFT_PROBE_DOCS", "2000000").toLong
     val cpus = sys.env.getOrElse("GRAFT_PROBE_CPUS", "32").toInt
-    val baseRoot =
-      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
+    val baseRoot = BenchHarness.tmpfsRoot
     val base = s"$baseRoot/graft-probe"
     Files.createDirectories(Paths.get(base))
     val cfg = IndexConfig(numSegments = 256, blockSize = 128)
 
     // cache layout is owned by IndexHandle's explicit knobs; the session
     // restart per probe exists only to drop the previous probe's cache
-    def session(): SparkSession = {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName("graft-latency-probe")
-        .config("spark.sql.shuffle.partitions", cpus.toString)
-        .config("spark.local.dir", s"$base/spark-local")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    }
+    def session(): SparkSession =
+      BenchHarness.session("graft-latency-probe", cpus, s"$base/spark-local")
 
     // stage corpus + index once, reused across probe runs
     var spark = session()
     spark.sparkContext.setLogLevel("WARN")
     val idxDir = s"$base/idx-$docs"
     if (!Files.exists(Paths.get(idxDir, "snapshots"))) {
-      val corpusDir = s"$base/corpus-$docs"
-      if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
-        Corpus.pages(spark, docs, seed = 42, numPartitions = 32)
-          .select("url", "text").write.mode("overwrite").parquet(corpusDir)
+      val corpusDir = BenchHarness.stageCorpus(spark, base, docs)
       IndexBuilder.build(spark, spark.read.parquet(corpusDir), idxDir, cfg)
     }
 
@@ -94,8 +81,8 @@ object LatencyProbe {
         handle.topK(q, 10)
         (System.nanoTime() - t0) / 1e6
       }.sorted
-      val p50 = lat(lat.length / 2)
-      val p95 = graft.Bench.pctl(lat, 95) // nearest-rank, not max
+      val p50 = BenchHarness.pctl(lat, 50)
+      val p95 = BenchHarness.pctl(lat, 95) // nearest-rank, not max
       val jobMs = clock.totalMs.get().toDouble / queries.length
       val njobs = clock.jobs.get().toDouble / queries.length
       println(f"[probe] $label%-28s p50=$p50%7.1f ms  p95=$p95%7.1f ms  " +

@@ -24,30 +24,17 @@ object ScalingProbe {
     val reps = sys.env.getOrElse("GRAFT_SCALE_REPS", "3").toInt
     val levels = sys.env.getOrElse("GRAFT_SCALE_LEVELS", "2,4,8,16,32")
       .split(",").map(_.trim.toInt).toSeq
-    val baseRoot =
-      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
+    val baseRoot = BenchHarness.tmpfsRoot
     val base = s"$baseRoot/graft-scale"
     Files.createDirectories(Paths.get(base))
     val cfg = IndexConfig(numSegments = 256, blockSize = 128)
 
-    def session(cpus: Int): SparkSession = {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName(s"graft-scale-$cpus")
-        .config("spark.sql.shuffle.partitions", cpus.toString)
-        .config("spark.local.dir", s"$base/spark-local")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    }
+    def session(cpus: Int): SparkSession =
+      BenchHarness.session(s"graft-scale-$cpus", cpus, s"$base/spark-local")
 
     var spark = session(levels.max)
     spark.sparkContext.setLogLevel("WARN")
-    val corpusDir = s"$base/corpus-$docs"
-    if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
-      Corpus.pages(spark, docs, seed = 42, numPartitions = 32)
-        .select("url", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpusDir = BenchHarness.stageCorpus(spark, base, docs)
 
     var lastDir: String = null
     var n = 0
@@ -56,8 +43,7 @@ object ScalingProbe {
       System.gc()
       spark = session(cpus)
       spark.sparkContext.setLogLevel("WARN")
-      if (lastDir != null)
-        scala.reflect.io.Directory(new java.io.File(lastDir)).deleteRecursively()
+      if (lastDir != null) BenchHarness.deleteDir(lastDir)
       n += 1
       val dir = Files.createTempDirectory(Paths.get(base), s"idx-$cpus-$n").toString
       val t0 = System.nanoTime()
@@ -79,7 +65,7 @@ object ScalingProbe {
         println(f"[scale] level=$l%-3d t=$t%7.1f s  tp=${docs / t}%9.0f docs/s")
       }
     }
-    def med(xs: List[Double]) = xs.sorted.apply(xs.length / 2)
+    def med(xs: List[Double]) = BenchHarness.median(xs)
     val tp = levels.map(l => l -> docs / med(times(l))).toMap
     println("[scale] medians: " +
       levels.map(l => f"$l->${tp(l)}%.0f").mkString("  "))

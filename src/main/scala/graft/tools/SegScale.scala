@@ -69,6 +69,6 @@ object SegScale {
     Snapshot.latest(dir).foreach(s => require(s.termdictDir.nonEmpty))
     spark.stop()
     // a 4096-segment index tree left in /tmp per run fills the shared VM
-    } finally scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    } finally BenchHarness.deleteDir(dir)
   }
 }

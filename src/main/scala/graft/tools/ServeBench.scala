@@ -17,10 +17,7 @@ object ServeBench {
     val docs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val segments = args.lift(1).map(_.toInt).getOrElse(256)
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
-    val shm = // same fallback as Bench: not every host mounts /dev/shm
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
-      else System.getProperty("java.io.tmpdir")
-    val base = sys.env.getOrElse("GRAFT_SMOKE_TMP", shm) + "/graft-servebench"
+    val base = sys.env.getOrElse("GRAFT_SMOKE_TMP", BenchHarness.tmpfsRoot) + "/graft-servebench"
     Files.createDirectories(Paths.get(base))
     val spark = Sessions.withMaster(SparkSession.builder(), "local[32]")
       .appName("graft-servebench")
@@ -42,7 +39,7 @@ object ServeBench {
         h.servedTopK(q, 10)
         (System.nanoTime() - t0) / 1e6
       }.sorted
-      def pct(p: Int) = graft.Bench.pctl(lat, p) // nearest-rank
+      def pct(p: Int) = BenchHarness.pctl(lat, p) // nearest-rank
       val qps = Seq(1, 4, 8, 16).map { threads =>
         val perThread = 300
         val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)

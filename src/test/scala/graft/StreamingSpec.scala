@@ -33,9 +33,11 @@ class StreamingSpec extends SparkSuite {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-band$b")
       df.filter(col("rk") >= lo && col("rk") <= hi).drop("rk")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst.get
+      val listing = java.nio.file.Files.list(tmp)
+      val part = // Files.list holds an open directory handle until closed
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        finally listing.close()
       val dst = dir.resolve(f"band$b%02d.parquet")
       java.nio.file.Files.move(part, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
