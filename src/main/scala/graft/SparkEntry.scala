@@ -649,6 +649,17 @@ object SparkEntry {
         must = Seq("data", "spark"), should = Seq("merge", "window"),
         filter = Seq("table"), mustNot = Seq("slow")))).toDF("total")
     }),
+    // ES scan-with-query / scroll (Search().query(q).scan(),
+    // mrtarget/modules/Association.py:309-311): the FULL live match set of
+    // a bool query as a DataFrame — enumerated segment-parallel, urls
+    // resolved by a streaming rank-lockstep walk of each segment's url
+    // table. Oracle: the candidate membership recomputed in SQL, with the
+    // url re-synthesized from the doc id.
+    "q54_scan_query" -> ((s, d) =>
+      Searcher.matches(s, documentsIndex(s, d),
+          BoolQuery(must = Seq("data"), mustNot = Seq("slow")))
+        .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+          col("url"))),
 
     // ---- delete lifecycle (Deletes.scala): soft-deleted docs excluded
     // with Lucene stats semantics (q39), then expunged so stats re-derive
@@ -1080,6 +1091,16 @@ object SparkEntry {
              AND EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='table')
              AND NOT EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='slow'))
          SELECT count(*) AS total FROM cand""",
+    // q54: full match-set enumeration of must=data mustNot=slow; the url
+    // is a pure function of doc_id in the driver corpus
+    "q54_scan_query" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                       FROM documents),
+         cand AS (
+           SELECT DISTINCT t.doc_id FROM toks t
+           WHERE EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='data')
+             AND NOT EXISTS (SELECT 1 FROM toks x WHERE x.doc_id=t.doc_id AND x.term='slow'))
+         SELECT doc_id, printf('doc://%08d', doc_id) AS url FROM cand""",
     // NB: the top-20 cuts order by the UNROUNDED score (inner query), exactly
     // like the engine ranks by the exact double — rounding happens after the
     // cut on both sides, so a <5e-7 boundary tie cannot flip the doc set.

@@ -46,6 +46,11 @@ object Searcher {
   def count(spark: SparkSession, indexDir: String, q: BoolQuery): Long =
     new IndexHandle(spark, indexDir, warm = false).countMatches(q)
 
+  /** Query-filtered full enumeration (see IndexHandle.matchesDF): ES
+    * scan-with-query / scroll, as a DataFrame. */
+  def matches(spark: SparkSession, indexDir: String, q: BoolQuery): DataFrame =
+    new IndexHandle(spark, indexDir, warm = false).matchesDF(q)
+
   /** DataFrame form for SparkEntry / driver smoke checks. */
   def topKDF(spark: SparkSession, indexDir: String, query: String, k: Int): DataFrame = {
     import spark.implicits._
@@ -790,6 +795,61 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         n
       }
       .select(coalesce(sum(col("value")), lit(0L))).as[Long].head()
+  }
+
+  /** ES scan-with-query (`Search().query(q).scan()` + scroll paging — the
+    * reference walks query-filtered result sets for hours this way,
+    * mrtarget/modules/Association.py:309-311): enumerate EVERY live match
+    * of `q` as a DataFrame of (docId, url, segId) — no scoring, no k.
+    * Each candidate segment enumerates its matches with the scorers'
+    * cursor machinery (tombstones are exclusion cursors) and walks its
+    * length-prefixed url table in rank lockstep — matches arrive in
+    * ascending docId = ascending rank order, so the walk is a streaming
+    * merge with O(1) state, never a materialized url array. The result
+    * being a DataFrame is the point at scale: pageable, joinable,
+    * writable — what the reference's scroll loops feed downstream. */
+  def matchesDF(q: BoolQuery): DataFrame = {
+    import spark.implicits._
+    val c = compile(q) match {
+      case None => return spark.emptyDataset[(Long, String, Int)]
+        .toDF("docId", "url", "segId")
+      case Some(x) => x
+    }
+    val bs = blockSize
+    // TermLens rides along so ids-only queries still form a group per
+    // candidate segment; TermUrls feeds the url walk
+    val wanted: Seq[String] = IndexBuilder.TermLens +: IndexBuilder.TermUrls +:
+      IndexBuilder.TermDels +: c.allTerms.toSeq
+    val byTerm = postings.filter(col("term").isin(wanted: _*))
+    val filtered =
+      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
+      else byTerm
+    filtered.groupByKey(_.segId).flatMapGroups {
+      (segId: Int, it: Iterator[PostingRow]) =>
+        val rows = it.toSeq
+        val urlsRow = rows.find(_.term == IndexBuilder.TermUrls)
+        val dels = rows.filter(_.term == IndexBuilder.TermDels)
+        val terms = rows.filter(r => r.term != IndexBuilder.TermDels &&
+          r.term != IndexBuilder.TermLens && r.term != IndexBuilder.TermUrls)
+        urlsRow match {
+          case None => Iterator.empty
+          case Some(u) =>
+            val segB = IndexBuilder.segBase(segId)
+            val rd = new Varint.Reader(u.tfBytes, 0)
+            var rank = 0L
+            MatchEnum.enumerate(segId, terms, dels, c, bs).map { d =>
+              val want = d - segB - 1
+              while (rank < want) { // skip non-matching urls, streaming
+                val len = rd.readInt(); rd.pos += len; rank += 1
+              }
+              val len = rd.readInt()
+              val url = new String(u.tfBytes, rd.pos, len,
+                java.nio.charset.StandardCharsets.UTF_8)
+              rd.pos += len; rank += 1
+              (d, url, segId)
+            }
+        }
+    }.toDF("docId", "url", "segId")
   }
 
   /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on

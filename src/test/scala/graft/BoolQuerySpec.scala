@@ -171,6 +171,30 @@ class BoolQuerySpec extends SparkSuite {
       handle.search(BoolQuery.text("data spark merge"), 5).toSeq)
   }
 
+  test("matchesDF: full scan-with-query enumeration, urls rank-exact") {
+    // match set AND resolved urls both exact vs the known corpus
+    val got = handle.matchesDF(BoolQuery(must = Seq("data"), mustNot = Seq("slow")))
+      .select("docId", "url").collect().map(r => r.getLong(0) -> r.getString(1))
+    val wantUrls = Set("https://t.org/p/0", "https://t.org/p/1",
+      "https://t.org/p/4", "https://t.org/p/6")
+    assert(got.map(_._2).toSet === wantUrls)
+    // docIds agree with the search path for the same query
+    val viaSearch = handle.search(
+      BoolQuery(must = Seq("data"), mustNot = Seq("slow")), 10)
+      .map(h => h.docId -> h.url).toSet
+    assert(got.toSet === viaSearch)
+    // degenerate: unknown term -> empty frame, correct schema
+    val empty = handle.matchesDF(BoolQuery(must = Seq("nosuchterm")))
+    assert(empty.columns.toSeq === Seq("docId", "url", "segId"))
+    assert(empty.count() === 0L)
+    // ids query path (TermLens/TermUrls group anchoring)
+    val byIds = handle.matchesDF(BoolQuery(
+      ids = Some(Seq("https://t.org/p/2", "https://t.org/p/5")),
+      filter = Seq("window")))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(byIds === Set("https://t.org/p/2"))
+  }
+
   test("countMatches: exact total hits (track_total_hits) on the known corpus") {
     // pinned counts, and identity with the search path's match set size
     val qs = Seq(

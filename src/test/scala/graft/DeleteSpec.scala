@@ -59,6 +59,10 @@ class DeleteSpec extends SparkSuite {
     val victims = matching.toSeq.sorted.take(3)
     Deletes.delete(spark, dir, victims)
     assert(Searcher.count(spark, dir, q) === (matching.size - 3).toLong)
+    // the scan-with-query enumeration honors the same tombstones
+    val scanned = Searcher.matches(spark, dir, q)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(scanned === matching -- victims)
   }
 
   test("warm and served paths honor tombstones; ids of a deleted url gone") {
