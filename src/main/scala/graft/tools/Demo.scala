@@ -84,6 +84,9 @@ object Demo {
       if (!ok) sys.exit(1)
     }
     spark.stop()
+    // success cleanup only: a failed run (sys.exit above) leaves the index
+    // behind for inspection
+    BenchHarness.deleteDir(dir)
     println("[demo] OK")
   }
 }

@@ -17,6 +17,7 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val created = args.isEmpty
     val dir = args.headOption.getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft-stream-demo")
       java.nio.file.Files.copy(
@@ -36,6 +37,7 @@ object StreamDemo {
     println(s"[stream-demo] session updates=${sess.count()}")
     sess.orderBy("user_id").show(5, truncate = false)
     spark.stop()
+    if (created) BenchHarness.deleteDir(dir) // only the dir this run made
     println("[stream-demo] OK")
   }
 }
