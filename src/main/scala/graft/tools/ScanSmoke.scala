@@ -1,0 +1,61 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{BoolQuery, Searcher}
+
+/** Scale smoke for the enumeration surfaces (q53/q54): build an
+  * N-doc index, then run `Searcher.count` (track_total_hits) and
+  * `matchesDF` (scan-with-query) with a HEAD term matching a large
+  * fraction of the corpus — the workload where a driver-side or
+  * materializing implementation would fall over. The match set is only
+  * counted/aggregated on the executors; nothing corpus-sized reaches the
+  * driver. Prints one JSON line.
+  * Usage: runMain graft.tools.ScanSmoke [docs] */
+object ScanSmoke {
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
+    val docs = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val base = s"${BenchHarness.tmpfsRoot}/graft-scansmoke"
+    Files.createDirectories(Paths.get(base))
+    val spark = BenchHarness.session("graft-scansmoke", 32, s"$base/spark-local")
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val corpusDir = BenchHarness.stageCorpus(spark, base, docs)
+      val idxDir = Files.createTempDirectory(Paths.get(base), "idx").toString
+      IndexBuilder.build(spark, spark.read.parquet(corpusDir), idxDir,
+        IndexConfig(numSegments = 256, blockSize = 128))
+
+      // "the" is the head term (df ~= 0.75N in the seeded corpus): the
+      // broad-match case; "the"+mustNot narrows it; a tail conjunction
+      // bounds the cheap end
+      val broad = BoolQuery(filter = Seq("the"))
+      val narrow = BoolQuery(must = Seq("data"), mustNot = Seq("the"))
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (cBroad, tCount) = timed(Searcher.count(spark, idxDir, broad))
+      // enumerate + aggregate executor-side: distinct segments touched and
+      // total rows, without collecting the match set
+      val (scanAgg, tScan) = timed {
+        val df = Searcher.matches(spark, idxDir, broad)
+        df.groupBy("segId").count()
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("count"))
+          .collect()(0)
+      }
+      val segsTouched = scanAgg.getLong(0)
+      val scanRows = scanAgg.getLong(1)
+      val (cNarrow, tNarrow) = timed(Searcher.count(spark, idxDir, narrow))
+      require(scanRows == cBroad,
+        s"scan enumeration ($scanRows) != count ($cBroad)")
+      println(f"""{"scansmoke_docs":$docs,"broad_matches":$cBroad,"count_sec":$tCount%.2f,"scan_sec":$tScan%.2f,"scan_segments":$segsTouched,"narrow_matches":$cNarrow,"narrow_count_sec":$tNarrow%.2f}""")
+    } finally {
+      spark.stop()
+      BenchHarness.deleteDir(base)
+    }
+  }
+}
