@@ -111,6 +111,32 @@ class FieldSearchSpec extends SparkSuite {
         filter = Seq(BoolQuery.keyword("lang", "en"))), 50).isEmpty)
   }
 
+  test("count and scan-with-query honor field scoping and keyword exactness") {
+    val dir = freshIndex()
+    val h = new graft.search.IndexHandle(spark, dir, warm = false)
+    // keyword-exact count: each lang keyword matches exactly its cohort
+    Seq("en", "de", "fr", "en US").foreach { l =>
+      val want = rows.count(_._4 == l).toLong
+      assert(h.countMatches(
+        BoolQuery(filter = Seq(BoolQuery.keyword("lang", l)))) === want, l)
+    }
+    // scan enumeration returns precisely the cohort's urls
+    val enUrls = h.matchesDF(
+        BoolQuery(filter = Seq(BoolQuery.keyword("lang", "en US"))))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(enUrls === rows.filter(_._4 == "en US").map(_._1).toSet)
+    // field isolation carries over: a body-only token counts 0 in title
+    val bodyOnly = rows.flatMap(_._3.split(" ")).toSet
+      .diff(rows.flatMap(_._2.split(" ")).toSet)
+    assume(bodyOnly.nonEmpty)
+    val tok = bodyOnly.head
+    assert(h.countMatches(
+      BoolQuery(must = BoolQuery.fieldText("title", tok))) === 0L)
+    assert(h.countMatches(
+      BoolQuery(must = BoolQuery.fieldText("body", tok))) ===
+      rows.count(_._3.split(" ").contains(tok)).toLong)
+  }
+
   test("append re-derives the pinned field schema from the snapshot") {
     val dir = freshIndex()
     assert(Snapshot.latest(dir).get.fieldDefs === fields)
