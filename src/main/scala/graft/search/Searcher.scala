@@ -759,6 +759,25 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     }
   }
 
+  /** Segments that can possibly hold a match for `c`: those with at least
+    * one positive-clause (must/filter/should) posting row — a match needs
+    * every required term, and a pure-should match needs one scoring term,
+    * so a segment with NO positive rows cannot contribute. Ids queries use
+    * the resolved id segments instead. Bounds every enumeration shuffle:
+    * url tables and (post-mass-delete, corpus-sized) tombstone rows of
+    * non-candidate segments never move. The pre-scan reads only the
+    * pushed-down (term, segId) columns and sends O(segments) ints to the
+    * driver. */
+  private def candidateSegs(c: CompiledQuery): Seq[Int] =
+    if (c.hasIds) c.idsBySeg.keys.toSeq
+    else {
+      import spark.implicits._
+      val pos = (c.must ++ c.filter ++ c.scoringTerms).distinct.toSeq
+      if (pos.isEmpty) Seq.empty
+      else postings.filter(col("term").isin(pos: _*))
+        .select("segId").distinct().as[Int].collect().toSeq
+    }
+
   /** Exact live-match count for `q` (the ES `track_total_hits=true` /
     * `Search.count()` contract, mrtarget/modules/SearchObjects.py:289,334):
     * each candidate segment enumerates its matches with the same cursor
@@ -772,6 +791,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case Some(x) => x
     }
     val bs = blockSize
+    val cand = candidateSegs(c)
+    if (cand.isEmpty) return 0L
     // TermLens rides along ONLY for ids queries (it guarantees a group per
     // candidate segment when no clause term has a posting row there);
     // for term queries it would shuffle every segment's doc-length row —
@@ -780,10 +801,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       if (c.hasIds)
         IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
       else IndexBuilder.TermDels +: c.allTerms.toSeq
-    val byTerm = postings.filter(col("term").isin(wanted: _*))
-    val filtered =
-      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
-      else byTerm
+    val filtered = postings.filter(col("term").isin(wanted: _*) &&
+      col("segId").isin(cand: _*))
     filtered.groupByKey(_.segId)
       .mapGroups { (segId: Int, it: Iterator[PostingRow]) =>
         val rows = it.toSeq
@@ -816,14 +835,17 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case Some(x) => x
     }
     val bs = blockSize
-    // TermLens rides along so ids-only queries still form a group per
-    // candidate segment; TermUrls feeds the url walk
-    val wanted: Seq[String] = IndexBuilder.TermLens +: IndexBuilder.TermUrls +:
+    val cand = candidateSegs(c)
+    if (cand.isEmpty)
+      return spark.emptyDataset[(Long, String, Int)].toDF("docId", "url", "segId")
+    // TermUrls feeds the url walk AND anchors the group — every committed
+    // segment carries one (even empty segments), so no TermLens is needed;
+    // including it would shuffle every candidate segment's doc-length row
+    // into an enumeration that never reads lengths
+    val wanted: Seq[String] = IndexBuilder.TermUrls +:
       IndexBuilder.TermDels +: c.allTerms.toSeq
-    val byTerm = postings.filter(col("term").isin(wanted: _*))
-    val filtered =
-      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
-      else byTerm
+    val filtered = postings.filter(col("term").isin(wanted: _*) &&
+      col("segId").isin(cand: _*))
     filtered.groupByKey(_.segId).flatMapGroups {
       (segId: Int, it: Iterator[PostingRow]) =>
         val rows = it.toSeq

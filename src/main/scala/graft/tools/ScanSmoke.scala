@@ -28,34 +28,37 @@ object ScanSmoke {
       IndexBuilder.build(spark, spark.read.parquet(corpusDir), idxDir,
         IndexConfig(numSegments = 256, blockSize = 128))
 
-      // "the" is the head term (df ~= 0.75N in the seeded corpus): the
-      // broad-match case; "the"+mustNot narrows it; a tail conjunction
-      // bounds the cheap end
+      // three workloads: "the" is the head term (df ~= 0.75N in the seeded
+      // corpus) — the broad-match case; a negated-head query (cheap match
+      // set, expensive exclusion cursor); and a genuine tail conjunction
       val broad = BoolQuery(filter = Seq("the"))
-      val narrow = BoolQuery(must = Seq("data"), mustNot = Seq("the"))
+      val negHead = BoolQuery(must = Seq("data"), mustNot = Seq("the"))
+      // w100x/w200x are the seeded corpus's synthetic TAIL tokens (the
+      // bench query set uses them for the same purpose)
+      val tailConj = BoolQuery(must = Seq("w100x", "w200x"))
       def timed[T](f: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
       val (cBroad, tCount) = timed(Searcher.count(spark, idxDir, broad))
       // enumerate + aggregate executor-side: distinct segments touched and
       // total rows, without collecting the match set
       val (scanAgg, tScan) = timed {
-        val df = Searcher.matches(spark, idxDir, broad)
-        df.groupBy("segId").count()
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum("count"))
+        Searcher.matches(spark, idxDir, broad)
+          .groupBy("segId").count()
+          .agg(count(lit(1)), coalesce(sum("count"), lit(0L)))
           .collect()(0)
       }
       val segsTouched = scanAgg.getLong(0)
       val scanRows = scanAgg.getLong(1)
-      val (cNarrow, tNarrow) = timed(Searcher.count(spark, idxDir, narrow))
+      val (cNeg, tNeg) = timed(Searcher.count(spark, idxDir, negHead))
+      val (cTail, tTail) = timed(Searcher.count(spark, idxDir, tailConj))
       require(scanRows == cBroad,
         s"scan enumeration ($scanRows) != count ($cBroad)")
-      println(f"""{"scansmoke_docs":$docs,"broad_matches":$cBroad,"count_sec":$tCount%.2f,"scan_sec":$tScan%.2f,"scan_segments":$segsTouched,"narrow_matches":$cNarrow,"narrow_count_sec":$tNarrow%.2f}""")
-    } finally {
-      spark.stop()
+      println(f"""{"scansmoke_docs":$docs,"broad_matches":$cBroad,"count_sec":$tCount%.2f,"scan_sec":$tScan%.2f,"scan_segments":$segsTouched,"neg_head_matches":$cNeg,"neg_head_sec":$tNeg%.2f,"tail_conj_matches":$cTail,"tail_conj_sec":$tTail%.2f}""")
+      // success cleanup only: a failed run (require above) leaves the
+      // index behind for inspection, like Demo
       BenchHarness.deleteDir(base)
-    }
+    } finally spark.stop()
   }
 }
