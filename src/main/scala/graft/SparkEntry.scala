@@ -1009,7 +1009,7 @@ object SparkEntry {
                            ELSE -10.0 END) - 0.0)) / (-10.0) + 0.0)), 6) AS pv_score,
            round(LEAST(1.0, GREATEST(0.0,
              (1.0 * (value - 0.0)) / 500.0 + 0.0)), 6) AS norm_score,
-           round(2.0 / (1.0 + exp((value - 1.0)/100.0)), 3) AS sigmoid
+           round(2.0 / (1.0 + exp((1.0/100.0) * (value - 1.0))), 3) AS sigmoid
          FROM events""",
     "q28_harmonic_hierarchy" ->
       """WITH scored AS (
@@ -1172,7 +1172,7 @@ object SparkEntry {
              LEAST(1.0, GREATEST(0.5, 0.5*(value-0.0)/500.0 + 0.5)) * 0.7
            WHEN event_type='signup' THEN
              CASE WHEN value < 100 THEN 0.1 WHEN value < 300 THEN 0.5 ELSE 1.0 END
-           ELSE round(2.0 / (1.0 + exp((value - 1.0)/100.0)), 3)
+           ELSE round(2.0 / (1.0 + exp((1.0/100.0) * (value - 1.0))), 3)
            END, 6) AS score
          FROM events""",
     // q39: tombstone phase — docs containing 'merge' are excluded from

@@ -85,14 +85,17 @@ object Scoring {
     BigDecimal(v).setScale(precision, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
   def sigmoidScaling(value: Double, midValue: Double = 100.0, precision: Int = 3): Double =
-    roundHalfEven(2.0 / (1.0 + math.exp((value - 1.0) / midValue)), precision)
+    roundHalfEven(2.0 / (1.0 + math.exp(1.0 / midValue * (value - 1.0))), precision)
 
   /** bround = HALF_EVEN over the same decimal basis as [[roundHalfEven]].
-    * The exponent is (v−1)/mid exactly as the reference writes it
-    * (common/Scoring.py:86-90) — multiplying by the reciprocal instead
-    * differs by ULPs (70·0.01 ≠ 70/100 in IEEE). */
+    * The exponent is the reciprocal-MULTIPLY form 1/mid · (v−1) exactly as
+    * the reference writes it — np.exp(1. / self.mid_value * (value -
+    * self.center)), common/Scoring.py:89. Dividing by mid instead differs
+    * by ULPs ((v−1)·(1/100) ≠ (v−1)/100 in IEEE), which crosses rounding
+    * boundaries for ~13% of inputs pre-round; the DuckDB oracles mirror
+    * this form. */
   def sigmoidScalingExpr(value: Column, midValue: Double = 100.0, precision: Int = 3): Column =
-    bround(lit(2.0) / (lit(1.0) + exp((value - lit(1.0)) / lit(midValue))), precision)
+    bround(lit(2.0) / (lit(1.0) + exp(lit(1.0 / midValue) * (value - lit(1.0)))), precision)
 
   /** The reference's per-datasource scoring dispatch
     * (common/EvidenceString.py:570-748): each datasource selects its own

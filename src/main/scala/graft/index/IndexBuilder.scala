@@ -695,6 +695,7 @@ object IndexBuilder {
     * stream is contiguous across blocks (block offsets only enable mid-list
     * seeks), so a single pass from offset 0 reconstructs the list. */
   private[graft] def decodePostings(r: PostingRow): (Array[Long], Array[Int]) = {
+    require(r.df <= Int.MaxValue, s"posting row df=${r.df} exceeds Int range")
     val n = r.df.toInt
     val ids = new Array[Long](n)
     val tfs = new Array[Int](n)
@@ -719,10 +720,14 @@ object IndexBuilder {
     * an executor-OOM risk right after a prior mass delete. */
   private[graft] def docIdStream(r: PostingRow): Iterator[Long] =
     new Iterator[Long] {
-      private val n = r.df.toInt
+      // Long counter: a segment holds up to 2^40 docs and these are
+      // explicitly the corpus-scale rows (a consolidated tombstone can
+      // cover ~all of one) — an Int cast would wrap negative past 2^31
+      // and silently DROP the row from merges (deleted docs resurrect)
+      private val n = r.df
       private val dr = new Varint.Reader(r.docBytes, 0)
       private var prev = segBase(r.segId)
-      private var i = 0
+      private var i = 0L
       def hasNext: Boolean = i < n
       def next(): Long = { prev += dr.readLong(); i += 1; prev }
     }
@@ -734,11 +739,11 @@ object IndexBuilder {
     * in-task. Pairs with [[encodeRun]] for an O(block) rewrite. */
   private[graft] def postingStream(r: PostingRow): Iterator[(Long, Int)] =
     new Iterator[(Long, Int)] {
-      private val n = r.df.toInt
+      private val n = r.df // Long for the same resurrect-risk as docIdStream
       private val dr = new Varint.Reader(r.docBytes, 0)
       private val tr = new Varint.Reader(r.tfBytes, 0)
       private var prev = segBase(r.segId)
-      private var i = 0
+      private var i = 0L
       def hasNext: Boolean = i < n
       def next(): (Long, Int) = {
         prev += dr.readLong(); i += 1; (prev, tr.readInt())

@@ -730,14 +730,22 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case Some(x) => x
     }
     val bs = blockSize
-    // TermLens rides along so EVERY candidate segment forms a group even
-    // when no clause term has a posting row there (pure-ids deletes)
+    val cand = candidateSegs(c)
+    if (cand.isEmpty) return spark.emptyDataset[PostingRow]
+    // TermLens rides along ONLY for ids queries (it anchors a group per
+    // candidate segment when no clause term has a posting row there —
+    // pure-ids deletes); for term queries every candidate segment has a
+    // positive posting row to anchor on, and including TermLens would
+    // shuffle every candidate segment's doc-length rows — O(corpus)
+    // bytes — into a sink that never reads lengths. The candidate prune
+    // keeps non-matching segments' (post-mass-delete, corpus-sized)
+    // tombstone rows from moving at all, same as countMatches/matchesDF.
     val wanted: Seq[String] =
-      IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
-    val byTerm = postings.filter(col("term").isin(wanted: _*))
-    val filtered =
-      if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
-      else byTerm
+      if (c.hasIds)
+        IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
+      else IndexBuilder.TermDels +: c.allTerms.toSeq
+    val filtered = postings.filter(col("term").isin(wanted: _*) &&
+      col("segId").isin(cand: _*))
     filtered.groupByKey(_.segId).flatMapGroups {
       (segId: Int, it: Iterator[PostingRow]) =>
         val rows = it.toSeq

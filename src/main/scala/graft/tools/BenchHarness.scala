@@ -48,7 +48,11 @@ object BenchHarness {
   def deleteDir(dir: String): Unit =
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
 
-  def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+  /** Median IS pctl(·, 50) — the nearest-rank LOWER median for even n.
+    * Defining it independently (index n/2 = the upper median) made the
+    * reported "p50" and "median" different order statistics on the same
+    * 20-sample latency sets despite the ONE-definition goal. */
+  def median(xs: Seq[Double]): Double = pctl(xs.sorted, 50)
 
   /** Nearest-rank percentile over a SORTED sample: the p-th percentile is
     * the ceil(p/100*n)-th order statistic — index ceil(...)−1. The naive
@@ -56,7 +60,10 @@ object BenchHarness {
     * shared host reports exactly the outlier a percentile exists to
     * exclude. ONE definition for every benchmark (Bench, ServeBench,
     * LatencyProbe) so cross-tool p50/p95 comparisons compare the same
-    * order statistic. */
-  def pctl(sorted: Seq[Double], p: Int): Double =
+    * order statistic. Empty samples are a caller bug — fail loudly, not
+    * with an opaque IndexOutOfBounds. */
+  def pctl(sorted: Seq[Double], p: Int): Double = {
+    require(sorted.nonEmpty, s"pctl(p=$p) over an empty sample")
     sorted(math.ceil(p / 100.0 * sorted.length).toInt - 1)
+  }
 }
