@@ -69,6 +69,7 @@ object Deletes {
     * metadata (segId, df) reaches the driver for the snapshot commit. */
   def deleteByQuery(spark: SparkSession, indexDir: String, q: BoolQuery): SnapshotMeta = {
     import spark.implicits._
+    IndexBuilder.ensureLargeCellWriterConf(spark)
     val h = new IndexHandle(spark, indexDir, warm = false)
     val snap = h.snap
     val newId = snap.id + 1
@@ -137,6 +138,7 @@ object Deletes {
       indexDir: String,
       bySeg: Map[Int, Array[Long]]): SnapshotMeta = {
     import spark.implicits._
+    IndexBuilder.ensureLargeCellWriterConf(spark)
     val snap = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     require(snap.isComplete, "delete requires a complete index")
@@ -189,6 +191,7 @@ object Deletes {
     * only. Post-purge scores match a fresh build over the live documents. */
   def purge(spark: SparkSession, indexDir: String): SnapshotMeta = {
     import spark.implicits._
+    IndexBuilder.ensureLargeCellWriterConf(spark)
     val snap = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     require(snap.isComplete, "purge requires a complete index")
@@ -245,11 +248,23 @@ object Deletes {
     val segB = IndexBuilder.segBase(segId)
     require(it.head.term == IndexBuilder.TermLens,
       s"purge: segment $segId missing doc-length marker")
-    val lensRow = it.next()
-    val lens = Varint.decodeInts(lensRow.docBytes)
+    // marker tables are block-chunked (format v2); equal-term input order
+    // is whatever the sort delivered, so order chunks explicitly. The url
+    // chunks pass through UNCHANGED (dead rank slots stay in the tables so
+    // surviving docIds never move — the chunking invariant survives purge).
+    val lensChunks = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
+    while (it.hasNext && it.head.term == IndexBuilder.TermLens)
+      lensChunks += it.next()
+    val sortedLens = lensChunks.sortBy(_.chunk).toSeq
+    val lensByChunk = sortedLens.map(r => Varint.decodeInts(r.docBytes))
+    val lens =
+      if (lensByChunk.size == 1) lensByChunk.head
+      else Array.concat(lensByChunk: _*)
     require(it.hasNext && it.head.term == IndexBuilder.TermUrls,
       s"purge: segment $segId missing url marker")
-    val urlsRow = it.next()
+    val urlChunks = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
+    while (it.hasNext && it.head.term == IndexBuilder.TermUrls)
+      urlChunks += it.next()
 
     val dead = new java.util.BitSet(lens.length)
     while (it.hasNext && it.head.term == IndexBuilder.TermDels) {
@@ -259,16 +274,26 @@ object Deletes {
         .foreach(d => dead.set((d - segB - 1).toInt))
     }
     val nDead = dead.cardinality()
-    var liveCnt = 0L
-    var liveSum = 0L
-    var i = 0
-    while (i < lens.length) {
-      if (!dead.get(i)) { liveCnt += 1; liveSum += lens(i) }
-      i += 1
-    }
 
+    // re-emit each lens chunk with ITS rank range's live (df, cf) — the
+    // snapshot's docs/sumDocLen are sums over chunk rows (segmentMetrics)
+    val lensOut = {
+      var start = 0
+      sortedLens.indices.map { ci =>
+        val chunkLens = lensByChunk(ci)
+        var live = 0L
+        var liveSum = 0L
+        var j = 0
+        while (j < chunkLens.length) {
+          if (!dead.get(start + j)) { live += 1; liveSum += chunkLens(j) }
+          j += 1
+        }
+        start += chunkLens.length
+        sortedLens(ci).copy(df = live, cf = liveSum)
+      }
+    }
     val markers: Iterator[PostingRow] =
-      Iterator(lensRow.copy(df = liveCnt, cf = liveSum), urlsRow) ++ {
+      lensOut.iterator ++ urlChunks.sortBy(_.chunk).iterator ++ {
         if (nDead == 0) Iterator.empty
         else {
           // consolidated tombstone row: dead ranks stay excluded forever

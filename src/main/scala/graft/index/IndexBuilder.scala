@@ -27,6 +27,13 @@ case class IndexConfig(
     numSegments: Int = 32,
     blockSize: Int = 128,
     saltBuckets: Int = 8,
+    // rank slots per marker CHUNK (url/doc-length tables are block-chunked
+    // — see PostingRow). Pinned like numSegments/blockSize: readers derive
+    // chunk rank bases from it, so appends/purges re-use the snapshot's
+    // value. Default 2^20 slots ≈ 60 MB of urls per chunk cell at ~60 B/url
+    // — far from the 2 GiB JVM-array ceiling a parquet binary cell has,
+    // and small enough that one chunk decode is GC-friendly.
+    markerChunkDocs: Int = 1 << 20,
     // build the persisted ngram->term suggest table with each complete
     // commit (opt-in, like an ES mapping declaring suggest fields — costs
     // one termdict-sized explode at build time)
@@ -58,6 +65,18 @@ case class IndexConfig(
   * TermDels ("") the segment's tombstoned docIds (soft deletes).
   * Splitting urls from lens keeps the hot scoring path from deserializing
   * url bytes — urls are fetched only for the final k winners' segments.
+  *
+  * The url/doc-length tables are BLOCK-CHUNKED (format v2): one row per
+  * `IndexConfig.markerChunkDocs` rank slots, ordered by `chunk`. A
+  * monolithic per-segment cell would cap a segment at ~3×10⁷ urls (2 GiB
+  * JVM byte array) while the documented sizing range goes to 10⁸
+  * docs/segment, and every reader of a big segment would pay one huge
+  * allocation. Chunking invariant: every non-final chunk holds EXACTLY
+  * markerChunkDocs slots, so chunk c's first rank is c·markerChunkDocs —
+  * readers (upsert's marker scan, the scan/scroll rank-lockstep walk)
+  * derive rank bases per row with no cross-row state. Purge preserves the
+  * invariant (dead rank slots stay in the tables so docIds never move).
+  * `chunk` is 0 for posting and tombstone rows.
   */
 case class PostingRow(
     segId: Int,
@@ -72,7 +91,8 @@ case class PostingRow(
     blockMaxTf: Array[Int],
     blockMinDl: Array[Int],
     blockDocOff: Array[Int],
-    blockTfOff: Array[Int])
+    blockTfOff: Array[Int],
+    chunk: Int = 0)
 
 /** Row shape entering the streaming encoder. Doc rows (term == TermLens)
   * sort ahead of every real term within their segment. */
@@ -203,6 +223,22 @@ object IndexBuilder {
 
   def segBase(segId: Int): Long = segId.toLong << SegShift
 
+  /** Large-cell parquet writer safety, applied by every segment-writing
+    * path. parquet-java sizes a column page only after
+    * `parquet.page.size.row.check.min` values (default 100) have been
+    * buffered; with multi-10-MB binary cells (url/doc-length chunks at the
+    * default markerChunkDocs, stopword posting rows of a 10^7-10^8-doc
+    * segment) 100 buffered values overflow the 2 GiB int page buffer and
+    * the write dies with `ParquetEncodingException: writing empty page`.
+    * Checking after every 2nd value makes big cells flush page-per-value
+    * (the check is adaptive afterwards, so small-cell writes keep their
+    * batching). Set only if the user has not chosen a value. */
+  private[index] def ensureLargeCellWriterConf(spark: SparkSession): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    if (hc.get("parquet.page.size.row.check.min") == null)
+      hc.setInt("parquet.page.size.row.check.min", 2)
+  }
+
   /** keys(s) = smallest non-negative int x with pmod(murmur3(x, 42), P) == s,
     * i.e. Spark's HashPartitioning sends a row with value keys(s) to
     * partition s exactly. Pure function of P — safe for resume/determinism. */
@@ -241,9 +277,13 @@ object IndexBuilder {
         "suggest is not supported on multi-field indexes")
     }
     val prior = if (resume) Snapshot.latest(indexDir) else None
+    require(cfg.markerChunkDocs >= 1,
+      s"markerChunkDocs must be >= 1: ${cfg.markerChunkDocs}")
     prior.foreach { p =>
-      require(p.numSegments == cfg.numSegments && p.blockSize == cfg.blockSize,
-        s"resume config mismatch: snapshot P=${p.numSegments}/B=${p.blockSize}")
+      require(p.numSegments == cfg.numSegments && p.blockSize == cfg.blockSize &&
+        p.markerChunkDocs == cfg.markerChunkDocs,
+        s"resume config mismatch: snapshot P=${p.numSegments}/B=${p.blockSize}" +
+          s"/chunk=${p.markerChunkDocs}")
       require(p.fieldDefs == cfg.fields,
         s"resume config mismatch: snapshot fields=${p.fieldDefs}, cfg=${cfg.fields}")
       require(p.generations == 1,
@@ -277,7 +317,8 @@ object IndexBuilder {
     val P = prior.numSegments
     // fields are a pinned index property — re-derive from the snapshot so
     // appended generations tokenize identically to the original build
-    val cfg = IndexConfig(P, prior.blockSize, fields = prior.fieldDefs)
+    val cfg = IndexConfig(P, prior.blockSize, fields = prior.fieldDefs,
+      markerChunkDocs = prior.markerChunkDocs)
     val done = prior.completedSegIds
     val topGen = prior.generations - 1
     val topGenDone = (topGen * P until (topGen + 1) * P).forall(done.contains)
@@ -320,13 +361,16 @@ object IndexBuilder {
   private[graft] def upsertMarkerScan(spark: SparkSession, indexDir: String,
       snap: SnapshotMeta, candSegs: Seq[Int]): DataFrame = {
     import spark.implicits._
+    val chunkDocs = snap.markerChunkDocs
     spark.read
       .parquet(snap.dataDirs.map(d => s"$indexDir/$d"): _*)
       .as[PostingRow]
       // pushed-down marker scan: term equality AND segId-candidate prune
       .filter(col("term") === lit(TermUrls) && col("segId").isin(candSegs: _*))
       .flatMap { r =>
-        val base = segBase(r.segId)
+        // chunk c's first rank is c*markerChunkDocs (chunking invariant) —
+        // each chunk row maps to docIds independently, no cross-row state
+        val base = segBase(r.segId) + r.chunk.toLong * chunkDocs
         Varint.decodeStrings(r.tfBytes).iterator.zipWithIndex
           .map { case (u, i) => (r.segId, u, base + i + 1) }
       }
@@ -376,6 +420,7 @@ object IndexBuilder {
       segOffset: Int,
       wanted: Seq[Int]): SnapshotMeta = {
     import spark.implicits._
+    ensureLargeCellWriterConf(spark)
     val P = cfg.numSegments
     // codegen'd segment assignment (no UDF row-conversion on the hot path)
     def segCol = graft.plans.GraftFunctions.segment_of(col("url"), P) + lit(segOffset)
@@ -384,6 +429,7 @@ object IndexBuilder {
     val buildDir = s"$indexDir/$buildDirRel"
 
     val blockSize = cfg.blockSize
+    val chunkDocs = cfg.markerChunkDocs
     // One narrow pipeline after the single exchange; everything between the
     // tokenizer UDF and the encoder stays in Tungsten codegen. The
     // per-document marker row (doc length + url, term == TermLens) is
@@ -443,7 +489,7 @@ object IndexBuilder {
           // the snapshot stays permanently incomplete (a corpus with fewer
           // docs than P would brick the index with no remediation).
           val segId = segOffset + org.apache.spark.TaskContext.getPartitionId()
-          if (it.hasNext) encodePartition(it, blockSize)
+          if (it.hasNext) encodePartition(it, blockSize, chunkDocs)
           else if (wantedSet.contains(segId)) emptySegmentRows(segId)
           else Iterator.empty
         }
@@ -463,10 +509,10 @@ object IndexBuilder {
     // combined per (term, salt) bucket, then reduced per term -- the salted
     // merge step the north rule requires for posting consolidation at scale.
     val termdictRel = if (complete) Some(f"termdict/snap-$snapId%05d") else None
-    termdictRel.foreach { rel => timed("termdict")(
+    val termdictRows = termdictRel.map { rel => timed("termdict")(
       writeTermdict(spark, allDataDirs.map(d => s"$indexDir/$d"),
         s"$indexDir/$rel", cfg.saltBuckets))
-    }
+    }.getOrElse(-1L)
 
     // suggest artifact: sticky across append/resume — once an index was
     // built with suggest on, every later complete commit rebuilds it
@@ -496,7 +542,9 @@ object IndexBuilder {
       // TermDels rows ride along in dataDirs) — the counter must too
       deletedDocs = prior.map(_.deletedDocs).getOrElse(0L),
       suggestDir = suggestRel, suggestRows = suggestRows,
-      fields = serializeFields(cfg.fields))
+      fields = serializeFields(cfg.fields),
+      markerChunkDocs = chunkDocs, termdictRows = termdictRows,
+      formatVersion = Snapshot.CurrentFormat)
     Snapshot.commit(indexDir, snap)
     snap
   }
@@ -531,7 +579,7 @@ object IndexBuilder {
     * north rule requires for posting consolidation at scale. */
   private[index] def writeTermdict(
       spark: SparkSession, absDirs: Seq[String], outAbs: String,
-      saltBuckets: Int): Unit =
+      saltBuckets: Int): Long = {
     spark.read.parquet(absDirs: _*)
       .filter(col("term") > TermDels)
       .select("term", "segId", "df", "cf", "maxTf", "minDl")
@@ -543,17 +591,23 @@ object IndexBuilder {
         max("maxTf").as("maxTf"), min("minDl").as("minDl"))
       .sort("term")
       .write.mode("overwrite").parquet(outAbs)
+    // distinct-term count, persisted in SnapshotMeta so the warm handle's
+    // driver-dict admission gate needs no per-open count() job (metadata-
+    // cheap here, once, instead of once per IndexHandle)
+    spark.read.parquet(outAbs).count()
+  }
 
   /** Per-segment lineage metrics recomputed from a written data dir. The
-    * TermLens row's (df, cf) carry (live docs, live doclen sum) — equal to
-    * the url-table length for never-purged segments, smaller after a purge
-    * (dead rank slots stay in the table so surviving docIds never move). */
+    * TermLens rows' (df, cf) carry (live docs, live doclen sum) per chunk —
+    * summing to the url-table length for never-purged segments, smaller
+    * after a purge (dead rank slots stay in the tables so surviving docIds
+    * never move). */
   private[index] def segmentMetrics(
       spark: SparkSession, absDir: String, rel: String): Seq[SegmentMeta] =
     spark.read.parquet(absDir)
       .groupBy("segId").agg(
-        max(when(col("term") === TermLens, col("df")).otherwise(0L)).as("docs"),
-        max(when(col("term") === TermLens, col("cf")).otherwise(0L)).as("sumdl"),
+        sum(when(col("term") === TermLens, col("df")).otherwise(0L)).as("docs"),
+        sum(when(col("term") === TermLens, col("cf")).otherwise(0L)).as("sumdl"),
         sum(when(col("term") > TermDels, 1L).otherwise(0L)).as("terms"),
         sum(when(col("term") > TermDels, col("df")).otherwise(0L)).as("postings"))
       .collect()
@@ -567,11 +621,11 @@ object IndexBuilder {
     PostingRow(segId, TermLens, 0L, 0L, 0, 0,
       Array.emptyByteArray, Array.emptyByteArray, Array.emptyLongArray,
       Array.emptyIntArray, Array.emptyIntArray, Array.emptyIntArray,
-      Array.emptyIntArray),
+      Array.emptyIntArray, chunk = 0),
     PostingRow(segId, TermUrls, 0L, 0L, 0, 0,
       Array.emptyByteArray, Varint.encodeStrings(ArrayBuffer.empty[String]),
       Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
-      Array.emptyIntArray, Array.emptyIntArray))
+      Array.emptyIntArray, Array.emptyIntArray, chunk = 0))
 
   /** Test hooks: synthesize a single (segId, term) posting run and run it
     * through the real streaming encoder (used by differential fuzz specs). */
@@ -581,16 +635,22 @@ object IndexBuilder {
       TokRow(segId, term, docIds(i), tfs(i), lens(i), null))
 
   def encodeForTest(rows: Iterator[TokRow], blockSize: Int): PostingRow =
-    encodePartition(rows, blockSize).toSeq.find(_.term > TermDels).get
+    encodePartition(rows, blockSize, chunkDocs = Int.MaxValue)
+      .toSeq.find(_.term > TermDels).get
 
   /** Lazily encode one sorted partition: memory is bounded by a single
     * (segId, term) run plus the current segment's doc-length/url tables.
     * Input must be sorted by (segId, term, docId); doc rows lead each seg. */
   private[index] def encodePartition(
-      rows: Iterator[TokRow], blockSize: Int): Iterator[PostingRow] =
+      rows: Iterator[TokRow], blockSize: Int,
+      chunkDocs: Int): Iterator[PostingRow] =
     new Iterator[PostingRow] {
       private val it = rows.buffered
       private val pending = scala.collection.mutable.Queue.empty[PostingRow]
+      // per-segment marker-chunk counter (the build path holds exactly one
+      // segment per partition; tracking segId keeps multi-segment input safe)
+      private var chunkSeg = -1
+      private var chunkNo = 0
 
       override def hasNext: Boolean = pending.nonEmpty || it.hasNext
 
@@ -598,24 +658,32 @@ object IndexBuilder {
         if (pending.nonEmpty) return pending.dequeue()
         val segId = it.head.segId
         if (it.head.term == TermLens) {
-          // consume the segment's doc rows (contiguous, rank order)
+          if (segId != chunkSeg) { chunkSeg = segId; chunkNo = 0 }
+          // consume up to chunkDocs of the segment's doc rows (contiguous,
+          // rank order) -> ONE (lens, urls) chunk pair. Task memory is
+          // bounded by the chunk, never the segment: one monolithic cell
+          // would cap a segment at ~3e7 urls (2 GiB JVM byte array) and
+          // allocate it wholesale on every read.
           val lens = ArrayBuffer.empty[Int]
           val urls = ArrayBuffer.empty[String]
           var sumLen = 0L
-          while (it.hasNext && it.head.segId == segId && it.head.term == TermLens) {
+          while (it.hasNext && it.head.segId == segId &&
+              it.head.term == TermLens && lens.length < chunkDocs) {
             val r = it.next()
             lens += r.doclen
             urls += r.url
             sumLen += r.doclen
           }
+          val c = chunkNo
+          chunkNo += 1
           pending.enqueue(PostingRow(segId, TermUrls, urls.length.toLong, 0L,
             0, 0, Array.emptyByteArray, Varint.encodeStrings(urls),
             Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
-            Array.emptyIntArray, Array.emptyIntArray))
+            Array.emptyIntArray, Array.emptyIntArray, chunk = c))
           PostingRow(segId, TermLens, lens.length.toLong, sumLen, 0, 0,
             Varint.encodeInts(lens), Array.emptyByteArray,
             Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
-            Array.emptyIntArray, Array.emptyIntArray)
+            Array.emptyIntArray, Array.emptyIntArray, chunk = c)
         } else {
           // consume one (segId, term) posting run
           val term = it.head.term
@@ -750,6 +818,22 @@ object IndexBuilder {
       }
     }
 
+  /** Concatenate a segment's chunked doc-length marker rows (any input
+    * order) into the full rank-indexed table. */
+  private[graft] def concatLens(rows: Seq[PostingRow]): Array[Int] = {
+    val sorted = rows.sortBy(_.chunk)
+    if (sorted.lengthCompare(1) == 0) Varint.decodeInts(sorted.head.docBytes)
+    else Array.concat(sorted.map(r => Varint.decodeInts(r.docBytes)): _*)
+  }
+
+  /** Concatenate a segment's chunked url marker rows (any input order)
+    * into the full rank-indexed table. */
+  private[graft] def concatUrls(rows: Seq[PostingRow]): Array[String] = {
+    val sorted = rows.sortBy(_.chunk)
+    if (sorted.lengthCompare(1) == 0) Varint.decodeStrings(sorted.head.tfBytes)
+    else Array.concat(sorted.map(r => Varint.decodeStrings(r.tfBytes)): _*)
+  }
+
   /** Encode a sorted docId set as a TermDels tombstone row (tf/doclen are
     * 1-filled — tombstones are exclusion cursors, never scored). */
   private[graft] def encodeDocIdSet(
@@ -772,6 +856,7 @@ object IndexBuilder {
     * unreferenced (snapshot isolation); callers may vacuum separately. */
   def compact(spark: SparkSession, indexDir: String): SnapshotMeta = {
     import spark.implicits._
+    ensureLargeCellWriterConf(spark)
     val snap = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     require(snap.isComplete, "compact requires a complete index")
@@ -785,7 +870,7 @@ object IndexBuilder {
         element_at(lit(bijectionKeys(totalSegs)), col("segId") + 1))
       .repartition(totalSegs, col("part"))
       .drop("part")
-      .sortWithinPartitions("segId", "term")
+      .sortWithinPartitions("segId", "term", "chunk")
       .write.mode("overwrite").parquet(s"$indexDir/$rel")
     val compacted = snap.copy(
       id = newId, parent = snap.id,

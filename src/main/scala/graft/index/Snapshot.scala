@@ -53,7 +53,22 @@ case class SnapshotMeta(
     // build time like numSegments — appends re-derive tokenization from
     // it. Empty/null (pre-fields snapshot files) = the classic
     // single-`text`-column contract.
-    fields: Seq[String] = Nil) {
+    fields: Seq[String] = Nil,
+    // rank slots per url/doc-length marker CHUNK (format v2 block-chunked
+    // tables, see PostingRow docs). Pinned like blockSize: readers derive
+    // chunk rank bases (chunk * markerChunkDocs) from this value.
+    markerChunkDocs: Int = 0,
+    // distinct-term count of termdictDir, recorded at write time so a warm
+    // IndexHandle's driver-dict admission gate needs no per-open count()
+    // job. -1 = unknown (incomplete snapshots carry no termdict).
+    termdictRows: Long = -1L,
+    // on-disk layout version. Deliberately NO default: jackson-module-scala
+    // applies case-class defaults to missing JSON fields, so a default of
+    // CurrentFormat would make unversioned v1 files silently pass the read
+    // gate — exactly the cross-read (monolithic vs chunked marker tables)
+    // the version exists to refuse. Writers pass Snapshot.CurrentFormat;
+    // v1 files deserialize the primitive zero and are refused loudly.
+    formatVersion: Int) {
   def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
   /** Parsed field schema; robust to pre-fields snapshot JSON (null). */
   def fieldDefs: Seq[FieldDef] =
@@ -75,6 +90,11 @@ case class SnapshotMeta(
   * a killed build is invisible until its commit; restart resumes from the
   * last committed snapshot (SURVEY.md §7 "Snapshot atomicity"). */
 object Snapshot {
+  /** v2: block-chunked url/doc-length marker tables (+ markerChunkDocs,
+    * termdictRows in the snapshot JSON). v1 (unversioned files, field
+    * deserializes as 0): monolithic one-cell-per-segment marker tables. */
+  val CurrentFormat = 2
+
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
@@ -194,7 +214,15 @@ object Snapshot {
   def at(indexDir: String, id: Int): Option[SnapshotMeta] = {
     val file = snapsDir(indexDir).resolve(f"snap-$id%05d.json")
     if (!Files.exists(file)) None
-    else Some(mapper.readValue(Files.readString(file), classOf[SnapshotMeta]))
+    else {
+      val m = mapper.readValue(Files.readString(file), classOf[SnapshotMeta])
+      if (m.formatVersion != CurrentFormat)
+        throw new IllegalStateException(
+          s"snapshot $id under $indexDir has format v${m.formatVersion}, " +
+            s"this reader speaks v$CurrentFormat - rebuild the index " +
+            "(marker-table layouts are not cross-readable)")
+      Some(m)
+    }
   }
 
   /** All committed snapshots, ascending by id — the index's history chain

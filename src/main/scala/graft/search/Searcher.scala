@@ -370,13 +370,18 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   // admission gate must bound the quantity actually collected (DISTINCT
   // terms) BEFORE the collect — gating on the per-segment term-count sum
   // admits up to dictLimit x P rows when the vocabulary is mostly
-  // segment-local (Zipf tail), a driver OOM. count() on the term-sorted
-  // parquet is metadata-cheap.
-  private val driverDict: Option[Map[String, Long]] =
-    if (warm && termdict.count() <= dictLimit) {
+  // segment-local (Zipf tail), a driver OOM. The distinct-term count is
+  // persisted in the snapshot at termdict-write time, so a warm open
+  // issues no count() job (it was metadata-cheap but still one Spark job
+  // per handle); the count() fallback only covers snapshots that somehow
+  // carry a termdict without the recorded count.
+  private val driverDict: Option[Map[String, Long]] = {
+    def termCount = if (snap.termdictRows >= 0) snap.termdictRows else termdict.count()
+    if (warm && termCount <= dictLimit) {
       Some(termdict.select("term", "df").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
     } else None
+  }
 
   private val postings: Dataset[PostingRow] = {
     val ds = spark.read.parquet(dataPaths: _*).as[PostingRow]
@@ -474,9 +479,10 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         .collect().groupBy(_.segId)
       val installed = missing.flatMap { s =>
         fetched.get(s).map { rows =>
-          val lens = rows.find(_.term == IndexBuilder.TermLens)
-            .map(r => Varint.decodeInts(r.docBytes))
-            .getOrElse(Array.emptyIntArray)
+          // doc-length tables are block-chunked (format v2) — concat in
+          // chunk order
+          val lens = IndexBuilder.concatLens(
+            rows.filter(_.term == IndexBuilder.TermLens).toSeq)
           s -> (lens, rows.filter(_.term == IndexBuilder.TermDels).toSeq)
         }
       }
@@ -519,13 +525,13 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       val fetched = postings
         .filter(col("term") === IndexBuilder.TermUrls &&
           col("segId").isin(missing: _*))
-        .collect().map(r => r.segId -> Varint.decodeStrings(r.tfBytes))
+        .collect().groupBy(_.segId)
+        .map { case (s, rows) => s -> IndexBuilder.concatUrls(rows.toSeq) }
       urlCache.synchronized {
         fetched.foreach { case (s, u) => urlCache.put(s, u) }
       }
       hit ++ fetched ++
-        missing.filterNot(fetched.map(_._1).contains)
-          .map(_ -> Array.empty[String])
+        missing.filterNot(fetched.contains).map(_ -> Array.empty[String])
     }
   }
 
@@ -663,14 +669,15 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
 
     def evalRows(rowsIt: Iterator[PostingRow]): Iterator[(Long, Double, Int)] = {
-      var lensFor = Map.empty[Int, Array[Int]]
+      val lensRows = scala.collection.mutable.HashMap
+        .empty[Int, ArrayBuffer[PostingRow]]
       val delsFor = scala.collection.mutable.HashMap
         .empty[Int, ArrayBuffer[PostingRow]]
       val posting = scala.collection.mutable.LinkedHashMap
         .empty[Int, ArrayBuffer[PostingRow]]
       rowsIt.foreach { r =>
         if (r.term == IndexBuilder.TermLens)
-          lensFor += r.segId -> Varint.decodeInts(r.docBytes)
+          lensRows.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
         else if (r.term == IndexBuilder.TermDels)
           delsFor.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
         else posting.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
@@ -679,14 +686,15 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       // a posting row there (e.g. pure-ids, or ids + mustNot-only); those
       // segments are identified by their doc-length marker rows instead
       val segIds: Iterator[Int] =
-        if (c.hasIds) lensFor.keysIterator.filter(c.idsBySeg.contains)
+        if (c.hasIds) lensRows.keysIterator.filter(c.idsBySeg.contains)
         else posting.keysIterator
       segIds.flatMap { segId =>
-        lensFor.get(segId) match {
+        lensRows.get(segId) match {
           case None => Iterator.empty
-          case Some(lens) =>
+          case Some(rows) =>
             BoolEval.scoreSegment(segId,
-              posting.get(segId).map(_.toSeq).getOrElse(Nil), lens,
+              posting.get(segId).map(_.toSeq).getOrElse(Nil),
+              IndexBuilder.concatLens(rows.toSeq),
               delsFor.get(segId).map(_.toSeq).getOrElse(Nil), c, bs, avg, kk,
               after = aft)
         }
@@ -854,30 +862,46 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       IndexBuilder.TermDels +: c.allTerms.toSeq
     val filtered = postings.filter(col("term").isin(wanted: _*) &&
       col("segId").isin(cand: _*))
+    val chunkDocs = snap.markerChunkDocs
     filtered.groupByKey(_.segId).flatMapGroups {
       (segId: Int, it: Iterator[PostingRow]) =>
         val rows = it.toSeq
-        val urlsRow = rows.find(_.term == IndexBuilder.TermUrls)
+        val urlChunks = rows.filter(_.term == IndexBuilder.TermUrls)
+          .sortBy(_.chunk).toArray
         val dels = rows.filter(_.term == IndexBuilder.TermDels)
         val terms = rows.filter(r => r.term != IndexBuilder.TermDels &&
           r.term != IndexBuilder.TermLens && r.term != IndexBuilder.TermUrls)
-        urlsRow match {
-          case None => Iterator.empty
-          case Some(u) =>
-            val segB = IndexBuilder.segBase(segId)
-            val rd = new Varint.Reader(u.tfBytes, 0)
-            var rank = 0L
-            MatchEnum.enumerate(segId, terms, dels, c, bs).map { d =>
-              val want = d - segB - 1
-              while (rank < want) { // skip non-matching urls, streaming
-                val len = rd.readInt(); rd.pos += len; rank += 1
-              }
-              val len = rd.readInt()
-              val url = new String(u.tfBytes, rd.pos, len,
-                java.nio.charset.StandardCharsets.UTF_8)
-              rd.pos += len; rank += 1
-              (d, url, segId)
+        if (urlChunks.isEmpty) Iterator.empty
+        else {
+          val segB = IndexBuilder.segBase(segId)
+          // rank-lockstep walk over the CHUNKED url table: matches ascend,
+          // so the walk moves forward chunk-by-chunk — chunks the match
+          // stream jumps over are never decoded at all (chunk c starts at
+          // rank c*chunkDocs, the chunking invariant), and within a chunk
+          // non-matching urls are skipped by length prefix, O(1) state
+          var ci = 0
+          var rd: Varint.Reader = null
+          var rank = 0L
+          MatchEnum.enumerate(segId, terms, dels, c, bs).map { d =>
+            val want = d - segB - 1
+            while (ci < urlChunks.length - 1 &&
+                want >= (urlChunks(ci).chunk + 1).toLong * chunkDocs) {
+              ci += 1
+              rd = null
             }
+            if (rd == null) {
+              rd = new Varint.Reader(urlChunks(ci).tfBytes, 0)
+              rank = urlChunks(ci).chunk.toLong * chunkDocs
+            }
+            while (rank < want) { // skip non-matching urls, streaming
+              val len = rd.readInt(); rd.pos += len; rank += 1
+            }
+            val len = rd.readInt()
+            val url = new String(urlChunks(ci).tfBytes, rd.pos, len,
+              java.nio.charset.StandardCharsets.UTF_8)
+            rd.pos += len; rank += 1
+            (d, url, segId)
+          }
         }
     }.toDF("docId", "url", "segId")
   }
