@@ -622,6 +622,17 @@ object SparkEntry {
         filter = Seq(BoolQuery.keyword("lang", "en"))), 20),
       withScore = true)),
 
+    // §2.8 PER-FIELD BM25 NORMS (ES 7.4 per-field similarity): the same
+    // token in two fields of contrasting lengths scores with each field's
+    // own dl/avgdl, and a keyword clause in should contributes exactly idf
+    // (norms disabled). Oracle recomputes everything from scratch.
+    "q55_field_norms" -> ((s, d) => hitsToDocIds(s,
+      Searcher.search(s, multifieldIndex(s, d), BoolQuery(
+        should = BoolQuery.fieldText("title", "data spark table") ++
+          BoolQuery.fieldText("body", "data merge") ++
+          Seq(BoolQuery.keyword("lang", "de"))), 20),
+      withScore = true)),
+
     // §2.8 DEEP PAGING (search_after; the reference scroll-pages result
     // sets, modules/Association.py:309-311): three pages of 7 stitched via
     // the (score, docId) cursor — each page one top-k pass, no
@@ -1273,37 +1284,75 @@ object SparkEntry {
          FROM events""",
     // q51: full field-tagged BM25 recomputation — title = tokens 1..5,
     // body = the rest (exactly the engine's multifieldIndex derivation),
-    // df per (field, term), tf within the field, dl = all analyzed tokens
-    // (title+body partition the text). Candidates = the keyword filter
-    // (lang='en'); docs with no should match are hits scoring 0.0 (pinned
-    // pure-filter semantics), hence the LEFT JOIN. Top-20 cut on the
-    // UNROUNDED score like q21.
+    // df per (field, term), tf within the field, and PER-FIELD norms (ES
+    // 7.4 per-field similarity): each field scores with its own dl and
+    // avgdl = sum(field length)/docs-with-field; idf over the TOTAL doc
+    // count (pinned choice, same in OracleSearch.fieldTopK). Candidates =
+    // the keyword filter (lang='en'); docs with no should match are hits
+    // scoring 0.0 (pinned pure-filter semantics), hence the LEFT JOIN.
+    // Top-20 cut on the UNROUNDED score like q21.
     "q51_field_search" ->
-      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS l, lang
-                       FROM documents),
-         ftoks AS (
-           SELECT doc_id, 'title' AS f, unnest(l[1:5]) AS term FROM base
-           UNION ALL
-           SELECT doc_id, 'body' AS f, unnest(l[6:]) AS term FROM base),
-         dl AS (SELECT doc_id, count(*) AS dl FROM ftoks GROUP BY 1),
-         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+      s"""$FieldBm25Ctes,
          q(f, term) AS (VALUES ('title','data'),('title','spark'),('body','merge')),
-         tf AS (SELECT ft.doc_id, ft.f, ft.term, count(*) AS tf FROM ftoks ft
-                JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2,3),
-         df AS (SELECT ft.f, ft.term, count(DISTINCT ft.doc_id) AS df FROM ftoks ft
-                JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2),
-         sc AS (SELECT tf.doc_id,
-                  ${Bm25ScoreExprSql}
-                    AS score
-                FROM tf JOIN df ON tf.f = df.f AND tf.term = df.term
-                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-                GROUP BY 1),
+         $FieldBm25ScoreCte,
          cand AS (SELECT b.doc_id, coalesce(sc.score, 0.0) AS score
                   FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id
                   WHERE b.lang = 'en')
          SELECT doc_id, round(score,6) AS score FROM
-           (SELECT doc_id, score FROM cand ORDER BY score DESC, doc_id LIMIT 20)"""
+           (SELECT doc_id, score FROM cand ORDER BY score DESC, doc_id LIMIT 20)""",
+    // q55: per-field norms made VISIBLE — a bool-should across two fields
+    // of deliberately contrasting lengths (title ~5 tokens, body the rest:
+    // the same token scores very differently per field because each field
+    // normalizes by ITS dl/avgdl) plus a SCORING keyword clause
+    // (norms-disabled: tf=1, dl/avgdl pinned to 1 -> contribution exactly
+    // idf). Oracle recomputes both parts from scratch.
+    "q55_field_norms" ->
+      s"""$FieldBm25Ctes,
+         q(f, term) AS (VALUES ('title','data'),('title','spark'),
+                              ('title','table'),('body','data'),('body','merge')),
+         $FieldBm25ScoreCte,
+         dfk AS (SELECT count(*) AS dfk FROM base WHERE lang = 'de'),
+         kw AS (SELECT b.doc_id,
+                  ln(1 + (st.n - dfk.dfk + 0.5)/(dfk.dfk + 0.5)) AS score
+                FROM base b CROSS JOIN st CROSS JOIN dfk
+                WHERE b.lang = 'de'),
+         allsc AS (SELECT doc_id, sum(score) AS score FROM
+                    (SELECT * FROM sc UNION ALL SELECT * FROM kw)
+                   GROUP BY 1)
+         SELECT doc_id, round(score,6) AS score FROM
+           (SELECT doc_id, score FROM allsc ORDER BY score DESC, doc_id LIMIT 20)"""
   )
+
+  /** Shared multi-field oracle plumbing (q51/q55): title/body token split
+    * mirroring multifieldIndex, per-field dl and per-field (docCount,
+    * sumdl) — the ES per-field similarity inputs — plus the total-N st. */
+  private val FieldBm25Ctes =
+    """WITH base AS (SELECT doc_id, string_split(text,' ') AS l, lang
+                     FROM documents),
+       st AS (SELECT count(*) AS n FROM base),
+       ftoks AS (
+         SELECT doc_id, 'title' AS f, unnest(l[1:5]) AS term FROM base
+         UNION ALL
+         SELECT doc_id, 'body' AS f, unnest(l[6:]) AS term FROM base),
+       dlf AS (SELECT doc_id, f, count(*) AS dl FROM ftoks GROUP BY 1, 2),
+       stf AS (SELECT f, count(*) AS nf, sum(dl) AS sumdl FROM dlf GROUP BY 1)"""
+
+  /** Per-field BM25 score CTE over [[FieldBm25Ctes]] + a q(f, term) values
+    * CTE: idf(total N, per-field df) * tfNorm(tf, dl_field, avgdl_field). */
+  private val FieldBm25ScoreCte =
+    """tf AS (SELECT ft.doc_id, ft.f, ft.term, count(*) AS tf FROM ftoks ft
+              JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2,3),
+       df AS (SELECT ft.f, ft.term, count(DISTINCT ft.doc_id) AS df FROM ftoks ft
+              JOIN q ON q.f = ft.f AND q.term = ft.term GROUP BY 1,2),
+       sc AS (SELECT tf.doc_id,
+                sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                     * tf.tf*2.2
+                     / (tf.tf + 1.2*(0.25 + 0.75*dlf.dl*stf.nf/CAST(stf.sumdl AS DOUBLE))) )
+                  AS score
+              FROM tf JOIN df ON tf.f = df.f AND tf.term = df.term
+              JOIN dlf ON dlf.doc_id = tf.doc_id AND dlf.f = tf.f
+              JOIN stf ON stf.f = tf.f CROSS JOIN st
+              GROUP BY 1)"""
 
   /** Full simhash recomputation shared by q18/q48: md5-derived 64-bit token
     * hashes (Hashing.md5Hash64 == ('0x'||substr(md5(t),1,16))::UBIGINT),

@@ -231,7 +231,11 @@ object Deletes {
       sumDocLen = metas.map(_.sumDocLen).sum,
       dataDirs = Seq(rel), termdictDir = Some(dictRel),
       segments = metas, deletedDocs = 0L,
-      suggestDir = sugRel, suggestRows = sugRows)
+      suggestDir = sugRel, suggestRows = sugRows,
+      // per-field norms follow the same live-docs-only contract
+      fieldStats =
+        if (snap.fieldDefs.isEmpty) Nil
+        else IndexBuilder.fieldStats(spark, Seq(s"$indexDir/$rel")))
     Snapshot.commit(indexDir, neu)
     neu
   }
@@ -260,6 +264,25 @@ object Deletes {
     val lens =
       if (lensByChunk.size == 1) lensByChunk.head
       else Array.concat(lensByChunk: _*)
+    // per-FIELD doc-length chunk groups (multi-field indexes) sort between
+    // TermLens and TermUrls; collected per term, live df/cf re-emitted and
+    // the concatenated arrays feed the tagged-term re-encode's doclen
+    val fieldGroups = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[PostingRow]]
+    while (it.hasNext && it.head.term.nonEmpty &&
+        it.head.term.charAt(0) == IndexBuilder.FieldLensPrefix.charAt(0)) {
+      val r = it.next()
+      fieldGroups.getOrElseUpdate(r.term, scala.collection.mutable.ArrayBuffer.empty) += r
+    }
+    val fieldChunks = fieldGroups.view.mapValues { rows =>
+      val sorted = rows.sortBy(_.chunk).toSeq
+      (sorted, sorted.map(r => Varint.decodeInts(r.docBytes)))
+    }.toMap
+    val fieldLensMap: Map[String, Array[Int]] = fieldChunks.map {
+      case (term, (_, byChunk)) =>
+        term.substring(1) ->
+          (if (byChunk.size == 1) byChunk.head else Array.concat(byChunk: _*))
+    }
     require(it.hasNext && it.head.term == IndexBuilder.TermUrls,
       s"purge: segment $segId missing url marker")
     val urlChunks = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
@@ -276,24 +299,35 @@ object Deletes {
     val nDead = dead.cardinality()
 
     // re-emit each lens chunk with ITS rank range's live (df, cf) — the
-    // snapshot's docs/sumDocLen are sums over chunk rows (segmentMetrics)
-    val lensOut = {
+    // snapshot's docs/sumDocLen are sums over chunk rows (segmentMetrics).
+    // For field-lens chunks "present" means live AND nonzero (docCount_f).
+    def liveChunkRows(sorted: Seq[PostingRow], byChunk: Seq[Array[Int]],
+        presentNeedsNonzero: Boolean): Seq[PostingRow] = {
       var start = 0
-      sortedLens.indices.map { ci =>
-        val chunkLens = lensByChunk(ci)
+      sorted.indices.map { ci =>
+        val vals = byChunk(ci)
         var live = 0L
         var liveSum = 0L
         var j = 0
-        while (j < chunkLens.length) {
-          if (!dead.get(start + j)) { live += 1; liveSum += chunkLens(j) }
+        while (j < vals.length) {
+          if (!dead.get(start + j) &&
+              (!presentNeedsNonzero || vals(j) > 0)) {
+            live += 1; liveSum += vals(j)
+          }
           j += 1
         }
-        start += chunkLens.length
-        sortedLens(ci).copy(df = live, cf = liveSum)
+        start += vals.length
+        sorted(ci).copy(df = live, cf = liveSum)
       }
     }
+    val lensOut = liveChunkRows(sortedLens, lensByChunk, presentNeedsNonzero = false)
+    val fieldOut = fieldChunks.toSeq.sortBy(_._1).flatMap {
+      case (_, (sorted, byChunk)) =>
+        liveChunkRows(sorted, byChunk, presentNeedsNonzero = true)
+    }
     val markers: Iterator[PostingRow] =
-      lensOut.iterator ++ urlChunks.sortBy(_.chunk).iterator ++ {
+      lensOut.iterator ++ fieldOut.iterator ++
+        urlChunks.sortBy(_.chunk).iterator ++ {
         if (nDead == 0) Iterator.empty
         else {
           // consolidated tombstone row: dead ranks stay excluded forever
@@ -319,11 +353,26 @@ object Deletes {
           if (!dead.get((d - segB - 1).toInt)) keepCnt += 1)
         if (keepCnt == 0L) Iterator.empty
         else if (keepCnt == r.df) Iterator.single(r)
-        else Iterator.single(IndexBuilder.encodeRun(segId, r.term,
-          IndexBuilder.postingStream(r)
-            .filter { case (id, _) => !dead.get((id - segB - 1).toInt) }
-            .map { case (id, tf) => (id, tf, lens((id - segB - 1).toInt)) },
-          blockSize))
+        else {
+          // multi-field indexes: a tagged ANALYZED term re-encodes with
+          // its FIELD's doc lengths (blockMinDl must bound field norms);
+          // keyword terms score norms-disabled, stored doclen stays inert
+          val dlArr: Array[Int] =
+            if (fieldLensMap.isEmpty) lens
+            else {
+              val sep = r.term.indexOf(IndexBuilder.FieldSep)
+              if (sep < 0) lens
+              else fieldLensMap.getOrElse(r.term.substring(0, sep), null)
+            }
+          Iterator.single(IndexBuilder.encodeRun(segId, r.term,
+            IndexBuilder.postingStream(r)
+              .filter { case (id, _) => !dead.get((id - segB - 1).toInt) }
+              .map { case (id, tf) =>
+                val rank = (id - segB - 1).toInt
+                (id, tf, if (dlArr == null) 1 else dlArr(rank))
+              },
+            blockSize))
+        }
       }
     }
     markers ++ terms

@@ -136,6 +136,18 @@ object IndexBuilder {
     * must compare against TermDels, not TermUrls. */
   val TermDels = "\u0002"
 
+  /** Per-FIELD doc-length marker prefix (multi-field indexes): the rows
+    * for analyzed field f carry term "\u0000"+f — sorting strictly between
+    * TermLens ("") and TermUrls ("\u0001"), excluded from every real-term
+    * predicate (all compare against TermDels). Same chunked layout as
+    * TermLens; the varint values are the docs' token counts WITHIN the
+    * field, rank-aligned (0 = field absent/empty). df = docs with the
+    * field present in the chunk, cf = the chunk's field-length sum — the
+    * snapshot's per-field (docCount, sumDl) stats aggregate these, giving
+    * ES 7.4's per-field similarity inputs (each field scores with its own
+    * dl/avgdl; df was already per-field via the tagged term space). */
+  val FieldLensPrefix = "\u0000"
+
   /** Multi-field term tag separator: field f's terms are stored as
     * s"$f$FieldSep$token" (ES field-qualified term space, one shared
     * posting table). U+001F (unit separator) is forbidden in field names,
@@ -437,7 +449,8 @@ object IndexBuilder {
     // native explode — no typed flatMap, no second pass over the corpus.
     val inputCols =
       if (cfg.fields.isEmpty) Seq("text") else cfg.fields.map(_.name)
-    val tokRows = pages.select((col("url") +: inputCols.map(col)): _*)
+    val analyzedFields = cfg.fields.filterNot(_.keyword)
+    val base0 = pages.select((col("url") +: inputCols.map(col)): _*)
       .withColumn("segId", segCol)
       .filter(col("segId").isin(wanted: _*))
       // Exact 1:1 segment->task mapping: plain repartition(P, segId) is a
@@ -453,16 +466,62 @@ object IndexBuilder {
         row_number().over(Window.partitionBy(col("part")).orderBy(col("url"))))
       .withColumn("docId",
         shiftleft(col("segId").cast("long"), SegShift) + col("rank"))
-      // analyzed tf map first (doclen counts ONLY analyzed tokens — like
-      // ES, keyword fields carry no norms), keyword entries concat after
-      .withColumn("tfa", analyzedTfMap(cfg.fields))
-      .withColumn("doclen",
-        aggregate(map_values(col("tfa")), lit(0), (acc, x) => acc + x))
-      .withColumn("tfmap", fullTfMap(cfg.fields))
-      .select(col("segId"), col("docId"), col("doclen"), col("url"),
-        explode(map_concat(map(lit(TermLens), lit(0)), col("tfmap")))
-          .as(Seq("term", "tf")))
-      .select(col("segId"), col("term"), col("docId"), col("tf"), col("doclen"),
+    // analyzed tf map first (doclen counts ONLY analyzed tokens — like
+    // ES, keyword fields carry no norms), keyword entries concat after.
+    // Multi-field: each field's raw tf map is a NAMED column so the
+    // tokenizer runs once per field and feeds both the tagged term map
+    // and the per-field doc length (dlmap) — per-field norms are the ES
+    // similarity contract (each field scores with its own dl/avgdl).
+    val base =
+      if (cfg.fields.isEmpty)
+        base0.withColumn("tfa", analyzedTfMap(cfg.fields))
+          .withColumn("doclen",
+            aggregate(map_values(col("tfa")), lit(0), (acc, x) => acc + x))
+          .withColumn("tfmap", fullTfMap(cfg.fields))
+      else {
+        val withRaw = analyzedFields.foldLeft(base0)((d, f) =>
+          d.withColumn("_tf_" + f.name, graft.plans.GraftFunctions.term_freqs(
+            coalesce(col(f.name), lit("")))))
+        withRaw
+          .withColumn("tfa", map_concat(analyzedFields.map(f =>
+            transform_keys(col("_tf_" + f.name),
+              (k, _) => concat(lit(f.name + FieldSep), k))): _*))
+          .withColumn("dlmap", map(analyzedFields.flatMap(f => Seq(
+            lit(f.name), aggregate(map_values(col("_tf_" + f.name)),
+              lit(0), (acc, x) => acc + x))): _*))
+          .withColumn("doclen",
+            aggregate(map_values(col("tfa")), lit(0), (acc, x) => acc + x))
+          .withColumn("tfmap", fullTfMap(cfg.fields))
+      }
+    // marker entries folded into the explode: the global doc row (TermLens)
+    // plus, for multi-field, one per-field doc-length row per analyzed
+    // field (value = the field's token count, 0 when absent — every rank
+    // gets a slot so the encoded tables stay rank-aligned)
+    val markerMap =
+      if (cfg.fields.isEmpty) map(lit(TermLens), lit(0))
+      else map_concat(map(lit(TermLens), lit(0)),
+        map(analyzedFields.flatMap(f => Seq(lit(FieldLensPrefix + f.name),
+          element_at(col("dlmap"), lit(f.name)))): _*))
+    // posting rows of tagged ANALYZED terms carry their FIELD's doc length
+    // (feeds blockMinDl, so block-max bounds use field norms); keyword
+    // terms score with norms disabled, their stored doclen is inert (1);
+    // marker rows (term < TermUrls) keep the global analyzed length
+    val doclenCol =
+      if (cfg.fields.isEmpty) col("doclen")
+      else when(col("term") < lit(TermUrls), col("doclen"))
+        .otherwise(coalesce(
+          element_at(col("dlmap"), substring_index(col("term"), FieldSep, 1)),
+          lit(1)))
+    val preExplode =
+      if (cfg.fields.isEmpty)
+        base.select(col("segId"), col("docId"), col("doclen"), col("url"),
+          explode(map_concat(markerMap, col("tfmap"))).as(Seq("term", "tf")))
+      else
+        base.select(col("segId"), col("docId"), col("doclen"), col("url"),
+          col("dlmap"),
+          explode(map_concat(markerMap, col("tfmap"))).as(Seq("term", "tf")))
+    val tokRows = preExplode
+      .select(col("segId"), col("term"), col("docId"), col("tf"), doclenCol.as("doclen"),
         when(col("term") === TermLens, col("url")).as("url"))
       .as[TokRow]
 
@@ -532,6 +591,10 @@ object IndexBuilder {
       writeSuggest(spark, s"$indexDir/${termdictRel.get}", s"$indexDir/$rel"))
     }.getOrElse(0L)
 
+    val fstats =
+      if (cfg.fields.isEmpty) Nil
+      else timed("fieldstats")(
+        fieldStats(spark, allDataDirs.map(d => s"$indexDir/$d")))
     val snap = SnapshotMeta(
       id = snapId, parent = prior.map(_.id).getOrElse(-1), status = "segments",
       numDocs = allSegments.map(_.docs).sum,
@@ -544,7 +607,7 @@ object IndexBuilder {
       suggestDir = suggestRel, suggestRows = suggestRows,
       fields = serializeFields(cfg.fields),
       markerChunkDocs = chunkDocs, termdictRows = termdictRows,
-      formatVersion = Snapshot.CurrentFormat)
+      fieldStats = fstats, formatVersion = Snapshot.CurrentFormat)
     Snapshot.commit(indexDir, snap)
     snap
   }
@@ -647,10 +710,19 @@ object IndexBuilder {
     new Iterator[PostingRow] {
       private val it = rows.buffered
       private val pending = scala.collection.mutable.Queue.empty[PostingRow]
-      // per-segment marker-chunk counter (the build path holds exactly one
+      // per-(segment, marker-term) chunk counter (the build path holds one
       // segment per partition; tracking segId keeps multi-segment input safe)
       private var chunkSeg = -1
+      private var chunkTerm: String = null
       private var chunkNo = 0
+      private def nextChunkIdx(segId: Int, term: String): Int = {
+        if (segId != chunkSeg || term != chunkTerm) {
+          chunkSeg = segId; chunkTerm = term; chunkNo = 0
+        }
+        val c = chunkNo
+        chunkNo += 1
+        c
+      }
 
       override def hasNext: Boolean = pending.nonEmpty || it.hasNext
 
@@ -658,7 +730,6 @@ object IndexBuilder {
         if (pending.nonEmpty) return pending.dequeue()
         val segId = it.head.segId
         if (it.head.term == TermLens) {
-          if (segId != chunkSeg) { chunkSeg = segId; chunkNo = 0 }
           // consume up to chunkDocs of the segment's doc rows (contiguous,
           // rank order) -> ONE (lens, urls) chunk pair. Task memory is
           // bounded by the chunk, never the segment: one monolithic cell
@@ -674,8 +745,7 @@ object IndexBuilder {
             urls += r.url
             sumLen += r.doclen
           }
-          val c = chunkNo
-          chunkNo += 1
+          val c = nextChunkIdx(segId, TermLens)
           pending.enqueue(PostingRow(segId, TermUrls, urls.length.toLong, 0L,
             0, 0, Array.emptyByteArray, Varint.encodeStrings(urls),
             Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
@@ -684,6 +754,27 @@ object IndexBuilder {
             Varint.encodeInts(lens), Array.emptyByteArray,
             Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
             Array.emptyIntArray, Array.emptyIntArray, chunk = c)
+        } else if (it.head.term.charAt(0) == FieldLensPrefix.charAt(0)) {
+          // per-FIELD doc-length run (multi-field indexes): same chunked
+          // layout as TermLens, values = the field's token count per rank
+          // (riding in the tf slot), df = docs with the field present,
+          // cf = field-length sum — the per-field avgdl inputs
+          val term = it.head.term
+          val vals = ArrayBuffer.empty[Int]
+          var present = 0L
+          var sum = 0L
+          while (it.hasNext && it.head.segId == segId &&
+              it.head.term == term && vals.length < chunkDocs) {
+            val r = it.next()
+            vals += r.tf
+            if (r.tf > 0) present += 1
+            sum += r.tf
+          }
+          PostingRow(segId, term, present, sum, 0, 0,
+            Varint.encodeInts(vals), Array.emptyByteArray,
+            Array.emptyLongArray, Array.emptyIntArray, Array.emptyIntArray,
+            Array.emptyIntArray, Array.emptyIntArray,
+            chunk = nextChunkIdx(segId, term))
         } else {
           // consume one (segId, term) posting run
           val term = it.head.term
@@ -817,6 +908,19 @@ object IndexBuilder {
         prev += dr.readLong(); i += 1; (prev, tr.readInt())
       }
     }
+
+  /** Per-field collection statistics over committed data dirs: docCount
+    * (docs where the analyzed field produced >= 1 token) and total field
+    * length — the avgdl inputs of ES 7.4's per-field BM25 similarity.
+    * Pushed-down scan of the field-lens marker rows' metadata only. */
+  private[graft] def fieldStats(
+      spark: SparkSession, absDirs: Seq[String]): Seq[FieldStat] =
+    spark.read.parquet(absDirs: _*)
+      .filter(col("term") > lit(TermLens) && col("term") < lit(TermUrls))
+      .groupBy("term").agg(sum("df").as("d"), sum("cf").as("c"))
+      .collect()
+      .map(r => FieldStat(r.getString(0).substring(1), r.getLong(1), r.getLong(2)))
+      .sortBy(_.name).toSeq
 
   /** Concatenate a segment's chunked doc-length marker rows (any input
     * order) into the full rank-indexed table. */

@@ -19,6 +19,14 @@ case class SegmentMeta(
     sumDocLen: Long,
     dataDir: String)
 
+/** Per-field collection statistics of a multi-field index (analyzed
+  * fields only): docs = documents where the field produced >= 1 token,
+  * sumDl = total tokens in the field — ES 7.4's per-field avgdl inputs
+  * (avgFieldLength = sumTotalTermFreq / docCount). Like numDocs, these
+  * follow Lucene delete semantics: tombstoned docs keep counting until a
+  * purge recomputes them over live docs. */
+case class FieldStat(name: String, docs: Long, sumDl: Long)
+
 /** One committed index snapshot. numDocs/sumDocLen are exact integer sums
   * over the committed segments' metadata (avgdl derives from them at query
   * time, identically at any parallelism). A snapshot covering all
@@ -58,6 +66,9 @@ case class SnapshotMeta(
     // tables, see PostingRow docs). Pinned like blockSize: readers derive
     // chunk rank bases (chunk * markerChunkDocs) from this value.
     markerChunkDocs: Int = 0,
+    // per-analyzed-field (docCount, sum field length) — the per-field
+    // BM25 norm inputs; empty for classic single-field indexes
+    fieldStats: Seq[FieldStat] = Nil,
     // distinct-term count of termdictDir, recorded at write time so a warm
     // IndexHandle's driver-dict admission gate needs no per-open count()
     // job. -1 = unknown (incomplete snapshots carry no termdict).
@@ -70,6 +81,12 @@ case class SnapshotMeta(
     // v1 files deserialize the primitive zero and are refused loudly.
     formatVersion: Int) {
   def avgdl: Double = graft.search.Bm25.avgdl(numDocs, sumDocLen)
+  /** Per-field average doc length (ES per-field similarity); robust to
+    * pre-fieldStats snapshot JSON (null). */
+  def fieldAvgdl: Map[String, Double] =
+    if (fieldStats == null) Map.empty
+    else fieldStats.map(f =>
+      f.name -> graft.search.Bm25.avgdl(f.docs, f.sumDl)).toMap
   /** Parsed field schema; robust to pre-fields snapshot JSON (null). */
   def fieldDefs: Seq[FieldDef] =
     if (fields == null || fields.isEmpty) Nil else IndexBuilder.parseFields(fields)

@@ -28,9 +28,7 @@ object BooleanScorer {
       scoring: Array[PostingIterator],
       excluded: Array[PostingIterator],
       ids: Array[Long],
-      lens: Array[Int],
       segBase: Long,
-      avgdl: Double,
       k: Int,
       // external lower bound on the GLOBAL kth-best score (see Wand.topK):
       // a segment whose total scoring bound falls strictly below it cannot
@@ -92,9 +90,7 @@ object BooleanScorer {
                 while (j < scoring.length) { // ascending term order
                   val it = scoring(j)
                   it.seek(candidate)
-                  if (it.curDoc == candidate)
-                    s += it.idf * Bm25.tfNorm(it.curTf,
-                      lens((candidate - segBase - 1).toInt), avgdl)
+                  if (it.curDoc == candidate) s += it.curScore
                   j += 1
                 }
                 if (SegHit.strictlyAfter(after, candidate, s)) {

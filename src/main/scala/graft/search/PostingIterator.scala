@@ -8,18 +8,36 @@ import graft.index.{IndexBuilder, PostingRow, Varint}
   * bound scores without decompressing, and `seek` decodes lazily from the
   * target block's byte offsets.
   *
+  * The cursor owns its NORM SOURCE: `lens` is the rank-indexed doc-length
+  * table this term scores against — the segment's global table for classic
+  * single-field indexes, the term's FIELD table for multi-field indexes
+  * (ES per-field similarity), or null for norms-disabled terms (keyword
+  * fields; dl/avgdl pinned to 1, so tfNorm = tf(k1+1)/(tf+k1) — with the
+  * indexed tf of 1 that is exactly idf, ES's norms-off keyword scoring).
+  * Exclusion/enumeration cursors that never score pass null too.
+  *
   * Score bounds derive from the stored (maxTf, minDl) pairs: tfNorm is
   * monotone increasing in tf and decreasing in doclen, so
-  * idf * tfNorm(maxTf, minDl, avgdl) dominates every posting they cover. */
+  * idf * tfNorm(maxTf, minDl, avgdl) dominates every posting they cover
+  * (for multi-field indexes minDl is the FIELD length by construction,
+  * IndexBuilder's doclenCol). */
 final class PostingIterator(
-    row: PostingRow, val idf: Double, blockSize: Int, avgdl: Double) {
+    row: PostingRow, val idf: Double, blockSize: Int, avgdl: Double,
+    lens: Array[Int]) {
 
   val term: String = row.term
   private val segBase = IndexBuilder.segBase(row.segId)
   private val nBlocks = row.blockLast.length
 
   /** Upper bound of this term's contribution within this segment. */
-  val maxScore: Double = idf * Bm25.tfNorm(row.maxTf, row.minDl, avgdl)
+  val maxScore: Double =
+    if (lens == null) idf * Bm25.tfNorm(row.maxTf, 1, 1.0)
+    else idf * Bm25.tfNorm(row.maxTf, row.minDl, avgdl)
+
+  /** This term's contribution at the CURRENT posting (curDoc/curTf). */
+  @inline def curScore: Double =
+    if (lens == null) idf * Bm25.tfNorm(curTf, 1, 1.0)
+    else idf * Bm25.tfNorm(curTf, lens((curDoc - segBase - 1).toInt), avgdl)
 
   // shallow (skip-metadata) pointer
   private var blockIdx = 0
@@ -82,6 +100,7 @@ final class PostingIterator(
     * (valid for docs <= blockLastDoc). Call after shallowSeek. */
   @inline def blockMaxScore: Double =
     if (blockIdx >= nBlocks) 0.0
+    else if (lens == null) idf * Bm25.tfNorm(row.blockMaxTf(blockIdx), 1, 1.0)
     else idf * Bm25.tfNorm(row.blockMaxTf(blockIdx), row.blockMinDl(blockIdx), avgdl)
 
   /** Last docId covered by the current (shallow) block. */

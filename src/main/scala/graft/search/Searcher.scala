@@ -109,17 +109,45 @@ private[search] final case class CompiledQuery(
     (must ++ filter ++ mustNot ++ scoringTerms).distinct
 }
 
+/** Per-snapshot norm routing (plain data — serializable into executor
+  * closures): classic single-field indexes score every term against the
+  * segment's global doc-length table; multi-field indexes score each
+  * field-tagged term against ITS field's table and avgdl (ES 7.4 per-field
+  * similarity — the avgdl inputs come from SnapshotMeta.fieldStats), and
+  * keyword fields score norms-disabled (null lens — see PostingIterator). */
+private[search] final case class NormCtx(
+    avgdl: Double,
+    multiField: Boolean,
+    fieldAvgdl: Map[String, Double],
+    keywordFields: Set[String]) {
+  /** (lens, avgdl) for one term. Every stored term of a multi-field index
+    * is field-tagged by construction. */
+  def select(term: String, segLens: SegLens): (Array[Int], Double) =
+    if (!multiField) (segLens.global, avgdl)
+    else {
+      val i = term.indexOf(graft.index.IndexBuilder.FieldSep)
+      val f = if (i < 0) "" else term.substring(0, i)
+      if (keywordFields.contains(f)) (null, 1.0)
+      else (segLens.byField(f), fieldAvgdl(f))
+    }
+}
+
+/** One segment's doc-length tables: the global analyzed-total table plus,
+  * for multi-field indexes, one rank-aligned table per analyzed field. */
+private[search] final case class SegLens(
+    global: Array[Int], byField: Map[String, Array[Int]])
+
 /** Per-segment evaluation shared by the distributed and served paths. */
 private[search] object BoolEval {
 
   def scoreSegment(
       segId: Int,
       rows: Seq[PostingRow],
-      lens: Array[Int],
+      segLens: SegLens,
       dels: Seq[PostingRow],
       c: CompiledQuery,
       blockSize: Int,
-      avgdl: Double,
+      norms: NormCtx,
       k: Int,
       // external lower bound on the global kth-best score (Wand.topK docs)
       floor: Double = Double.NegativeInfinity,
@@ -148,7 +176,9 @@ private[search] object BoolEval {
     // converge a shared cursor, never need it in two places.
     val iterMemo = new scala.collection.mutable.HashMap[String, PostingIterator]
     def iter(t: String): PostingIterator = iterMemo.getOrElseUpdate(t, {
-      val it = new PostingIterator(byTerm(t), c.idf.getOrElse(t, 0.0), blockSize, avgdl)
+      val (lensArr, avg) = norms.select(t, segLens)
+      val it = new PostingIterator(byTerm(t), c.idf.getOrElse(t, 0.0),
+        blockSize, avg, lensArr)
       it.start()
       it
     })
@@ -157,18 +187,17 @@ private[search] object BoolEval {
     // veto machinery as mustNot, so WAND/conjunction pruning stays exact
     val excluded = c.mustNot.filter(byTerm.contains).map(iter) ++
       dels.map { r =>
-        val d = new PostingIterator(r, 0.0, blockSize, avgdl)
+        val d = new PostingIterator(r, 0.0, blockSize, 1.0, null)
         d.start()
         d
       }
     val hits =
       if (c.hasRequired)
         BooleanScorer.conjunctiveTopK((c.must ++ c.filter).map(iter), scoring,
-          excluded, ids, lens, IndexBuilder.segBase(segId), avgdl, k, floor,
+          excluded, ids, IndexBuilder.segBase(segId), k, floor,
           after)
       else if (scoring.isEmpty) Array.empty[SegHit]
-      else Wand.topK(scoring, lens, IndexBuilder.segBase(segId), avgdl, k,
-        excluded, floor, after)
+      else Wand.topK(scoring, k, excluded, floor, after)
     hits.iterator.map(h => (h.docId, h.score, segId))
   }
 }
@@ -201,15 +230,15 @@ private[graft] object MatchEnum {
       if (!c.hasIds) null
       else c.idsBySeg.getOrElse(segId, return Iterator.empty)
 
-    // idf/avgdl are irrelevant without scoring — cursors only navigate
+    // idf/avgdl/lens are irrelevant without scoring — cursors only navigate
     def iter(t: String): PostingIterator = {
-      val it = new PostingIterator(byTerm(t), 0.0, blockSize, 1.0)
+      val it = new PostingIterator(byTerm(t), 0.0, blockSize, 1.0, null)
       it.start()
       it
     }
     val excluded = c.mustNot.filter(byTerm.contains).map(iter) ++
       dels.map { r =>
-        val d = new PostingIterator(r, 0.0, blockSize, 1.0)
+        val d = new PostingIterator(r, 0.0, blockSize, 1.0, null)
         d.start()
         d
       }
@@ -363,6 +392,12 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   private val dataPaths = snap.dataDirs.map(d => s"$indexDir/$d")
   private val avgdl = snap.avgdl
   private val blockSize = snap.blockSize
+  // per-field norm routing (multi-field indexes score each field with its
+  // own dl/avgdl, keyword fields norms-disabled — ES per-field similarity)
+  private val fieldLensTerms: Seq[String] = snap.fieldDefs.filterNot(_.keyword)
+    .map(f => IndexBuilder.FieldLensPrefix + f.name)
+  private val normCtx = NormCtx(avgdl, snap.fieldDefs.nonEmpty,
+    snap.fieldAvgdl, snap.fieldDefs.filter(_.keyword).map(_.name).toSet)
 
   private val termdict: DataFrame =
     spark.read.parquet(s"$indexDir/${snap.termdictDir.get}")
@@ -451,9 +486,9 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   // distributed path never touches this.
   private val lensSegCap = 4096
   private val segCache =
-    new java.util.LinkedHashMap[Int, (Array[Int], Seq[PostingRow])](64, 0.75f, true) {
+    new java.util.LinkedHashMap[Int, (SegLens, Seq[PostingRow])](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, (Array[Int], Seq[PostingRow])]): Boolean =
+          e: java.util.Map.Entry[Int, (SegLens, Seq[PostingRow])]): Boolean =
         size() > lensSegCap
     }
 
@@ -465,25 +500,33 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   private val segLock = new Object
   private val postingLock = new Object
 
-  private def fetchLens(segs: Seq[Int]): Map[Int, (Array[Int], Seq[PostingRow])] = {
+  private def fetchLens(segs: Seq[Int]): Map[Int, (SegLens, Seq[PostingRow])] = {
     val hit = segLock.synchronized {
       segs.flatMap(s => Option(segCache.get(s)).map(s -> _)).toMap
     }
     val missing = segs.filterNot(hit.contains)
     if (missing.isEmpty) hit
     else {
+      val wantedMarkers = IndexBuilder.TermLens +: IndexBuilder.TermDels +:
+        fieldLensTerms
       val fetched = postings.filter(
-          (col("term") === IndexBuilder.TermLens ||
-            col("term") === IndexBuilder.TermDels) &&
+          col("term").isin(wantedMarkers: _*) &&
           col("segId").isin(missing: _*))
         .collect().groupBy(_.segId)
       val installed = missing.flatMap { s =>
         fetched.get(s).map { rows =>
           // doc-length tables are block-chunked (format v2) — concat in
-          // chunk order
+          // chunk order; field tables keyed by (unprefixed) field name
           val lens = IndexBuilder.concatLens(
             rows.filter(_.term == IndexBuilder.TermLens).toSeq)
-          s -> (lens, rows.filter(_.term == IndexBuilder.TermDels).toSeq)
+          val byField = rows
+            .filter(r => r.term.nonEmpty &&
+              r.term.charAt(0) == IndexBuilder.FieldLensPrefix.charAt(0))
+            .groupBy(_.term).map { case (t, rs) =>
+              t.substring(1) -> IndexBuilder.concatLens(rs.toSeq)
+            }
+          s -> (SegLens(lens, byField),
+            rows.filter(_.term == IndexBuilder.TermDels).toSeq)
         }
       }
       segLock.synchronized(installed.foreach { case (s, v) => segCache.put(s, v) })
@@ -665,11 +708,15 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     val avg = avgdl
     val bs = blockSize
     val aft: SegHit = SegHit.fromCursor(after)
+    val nc = normCtx // local copy — the closure must not capture the handle
     val wanted: Seq[String] =
-      IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
+      (IndexBuilder.TermLens +: IndexBuilder.TermDels +: fieldLensTerms) ++
+        c.allTerms.toSeq
 
     def evalRows(rowsIt: Iterator[PostingRow]): Iterator[(Long, Double, Int)] = {
       val lensRows = scala.collection.mutable.HashMap
+        .empty[Int, ArrayBuffer[PostingRow]]
+      val fieldRows = scala.collection.mutable.HashMap
         .empty[Int, ArrayBuffer[PostingRow]]
       val delsFor = scala.collection.mutable.HashMap
         .empty[Int, ArrayBuffer[PostingRow]]
@@ -678,6 +725,9 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       rowsIt.foreach { r =>
         if (r.term == IndexBuilder.TermLens)
           lensRows.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
+        else if (r.term.nonEmpty &&
+            r.term.charAt(0) == IndexBuilder.FieldLensPrefix.charAt(0))
+          fieldRows.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
         else if (r.term == IndexBuilder.TermDels)
           delsFor.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
         else posting.getOrElseUpdate(r.segId, ArrayBuffer.empty) += r
@@ -692,10 +742,15 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         lensRows.get(segId) match {
           case None => Iterator.empty
           case Some(rows) =>
+            val byField = fieldRows.get(segId)
+              .map(_.groupBy(_.term).map { case (t, rs) =>
+                t.substring(1) -> IndexBuilder.concatLens(rs.toSeq)
+              })
+              .getOrElse(Map.empty[String, Array[Int]])
             BoolEval.scoreSegment(segId,
               posting.get(segId).map(_.toSeq).getOrElse(Nil),
-              IndexBuilder.concatLens(rows.toSeq),
-              delsFor.get(segId).map(_.toSeq).getOrElse(Nil), c, bs, avg, kk,
+              SegLens(IndexBuilder.concatLens(rows.toSeq), byField),
+              delsFor.get(segId).map(_.toSeq).getOrElse(Nil), c, bs, nc, kk,
               after = aft)
         }
       }
@@ -970,7 +1025,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         case Some((l, dels)) =>
           val rows = rowsBySeg.get(segId).map(_.toSeq).getOrElse(Nil)
           val segHits = BoolEval.scoreSegment(segId, rows, l, dels, c,
-            blockSize, avgdl, k, floorNow, aft).toSeq
+            blockSize, normCtx, k, floorNow, aft).toSeq
           if (segHits.lengthCompare(k) >= 0)
             raiseFloor(segHits.iterator.map(_._2).min)
           segHits
@@ -1133,11 +1188,16 @@ object OracleSearch {
 
   /** Exhaustive MULTI-FIELD evaluation with the pinned field-scoped
     * semantics (the rank-identity oracle for IndexConfig.fields indexes):
-    * df/idf per tagged (field, token) term, tf counted within its field,
-    * doclen = total tokens across ANALYZED fields only, keyword fields
-    * tf = 1 / no doclen / null not indexed. Scoring accumulates over the
-    * tagged must∪should terms in ascending term order — float-order pinned
-    * exactly like the engine. */
+    * df per tagged (field, token) term, idf over the TOTAL doc count
+    * (pinned choice — ES uses the per-field docCount; one N keeps idf
+    * comparable across a bool query's fields), tf counted within its
+    * field, and PER-FIELD norms exactly like ES 7.4's per-field
+    * similarity: each analyzed field scores with its own doc length and
+    * avgdl (sum field length / docs containing the field); keyword fields
+    * score norms-disabled (dl/avgdl pinned to 1 — with tf = 1 the
+    * contribution is exactly idf), null values not indexed. Scoring
+    * accumulates over the tagged must∪should terms in ascending term
+    * order — float-order pinned exactly like the engine. */
   def fieldTopK(
       docs: Seq[(String, Map[String, String])], // url -> field values
       fields: Seq[graft.index.FieldDef],
@@ -1147,17 +1207,23 @@ object OracleSearch {
     val q = q0.normalized
     if (q.contradictory) return Array.empty
     val sep = IndexBuilder.FieldSep
-    def tfMapOf(vals: Map[String, String]): (Map[String, Int], Int) = {
-      var doclen = 0
+    val keywordFields = fields.filter(_.keyword).map(_.name).toSet
+    // tagged tf map + per-field analyzed doc lengths
+    def tfMapOf(vals: Map[String, String]): (Map[String, Int], Map[String, Int]) = {
       val m = scala.collection.mutable.HashMap.empty[String, Int]
+      val dl = scala.collection.mutable.HashMap.empty[String, Int]
       fields.foreach { f =>
         val v = vals.getOrElse(f.name, null)
         if (f.keyword) { if (v != null) m.update(f.name + sep + v, 1) }
-        else Analyzer.termFreqs(if (v == null) "" else v).foreach {
-          case (t, c) => m.update(f.name + sep + t, c); doclen += c
+        else {
+          var n = 0
+          Analyzer.termFreqs(if (v == null) "" else v).foreach {
+            case (t, c) => m.update(f.name + sep + t, c); n += c
+          }
+          dl.update(f.name, n)
         }
       }
-      (m.toMap, doclen)
+      (m.toMap, dl.toMap)
     }
     val withIds = docs
       .map { case (url, vals) => (Hashing.segmentOf(url, numSegments), url, vals) }
@@ -1173,12 +1239,17 @@ object OracleSearch {
     }
     val n = tfs.size.toLong
     if (n == 0) return Array.empty
-    val sumdl = tfs.iterator.map(_._4.toLong).sum
-    val avgdl = Bm25.avgdl(n, sumdl)
+    // per-field avgdl = sum field length / docs where the field produced
+    // >= 1 token (ES avgFieldLength = sumTotalTermFreq / docCount)
+    val fieldAvgdl: Map[String, Double] = fields.filterNot(_.keyword).map { f =>
+      val present = tfs.count(_._4.getOrElse(f.name, 0) > 0).toLong
+      val sumDl = tfs.iterator.map(_._4.getOrElse(f.name, 0).toLong).sum
+      f.name -> Bm25.avgdl(present, sumDl)
+    }.toMap
     val scoringAll = (q.must ++ q.should).distinct.sorted
     val dfByTerm = scoringAll.map(t => t -> tfs.count(_._3.contains(t)).toLong).toMap
     val idsSet = q.ids.map(_.toSet)
-    val scored = tfs.flatMap { case (id, url, tf, doclen) =>
+    val scored = tfs.flatMap { case (id, url, tf, dlByField) =>
       val pass = idsSet.forall(_.contains(url)) &&
         q.must.forall(t => tf.getOrElse(t, 0) > 0) &&
         q.filter.forall(t => tf.getOrElse(t, 0) > 0) &&
@@ -1191,7 +1262,11 @@ object OracleSearch {
           val f = tf.getOrElse(t, 0)
           if (f > 0 && dfByTerm(t) > 0) {
             any = true
-            s += Bm25.idf(n, dfByTerm(t)) * Bm25.tfNorm(f, doclen, avgdl)
+            val fld = t.substring(0, t.indexOf(sep))
+            val norm =
+              if (keywordFields.contains(fld)) Bm25.tfNorm(f, 1, 1.0)
+              else Bm25.tfNorm(f, dlByField(fld), fieldAvgdl(fld))
+            s += Bm25.idf(n, dfByTerm(t)) * norm
           }
         }
         if (q.hasRequired || any) Some((id, url, s)) else None

@@ -46,8 +46,9 @@ object SegHit {
   */
 object Wand {
 
-  /** `iters` must be sorted by term asc and started; `lens(rank-1)` is the
-    * doc length for seg-local rank. `exclude` cursors (bool mustNot) veto
+  /** `iters` must be sorted by term asc and started; each cursor carries
+    * its own norm source (PostingIterator.curScore — global, per-field or
+    * norms-disabled). `exclude` cursors (bool mustNot) veto
     * documents without contributing score — exclusion only removes
     * candidates, so the WAND upper-bound pruning stays exact.
     *
@@ -69,9 +70,6 @@ object Wand {
     * own theta/block-max pruning still does all the work. */
   def topK(
       iters: Array[PostingIterator],
-      lens: Array[Int],
-      segBase: Long,
-      avgdl: Double,
       k: Int,
       exclude: Array[PostingIterator] = Array.empty,
       floor: Double = Double.NegativeInfinity,
@@ -113,8 +111,7 @@ object Wand {
         var i = 0
         while (i < n) { // ascending term order — float-order pinned
           val it = iters(i)
-          if (it.curDoc == doc)
-            s += it.idf * Bm25.tfNorm(it.curTf, lens((doc - segBase - 1).toInt), avgdl)
+          if (it.curDoc == doc) s += it.curScore
           i += 1
         }
         if (SegHit.strictlyAfter(after, doc, s)) {

@@ -165,6 +165,70 @@ class FieldSearchSpec extends SparkSuite {
     assert(engine === oracle)
   }
 
+  test("per-field norms: snapshot fieldStats match recomputation; served/warm parity") {
+    val dir = freshIndex()
+    val snap = Snapshot.latest(dir).get
+    // fieldStats = (docs with >= 1 ANALYZED token in the field, total
+    // analyzed field tokens) — the analyzer chain, not whitespace split
+    def dlOf(v: String): Long =
+      graft.analysis.Analyzer.termFreqs(v).valuesIterator.sum.toLong
+    val expTitle = (rows.count(r => dlOf(r._2) > 0).toLong,
+      rows.map(r => dlOf(r._2)).sum)
+    val expBody = (rows.count(r => dlOf(r._3) > 0).toLong,
+      rows.map(r => dlOf(r._3)).sum)
+    val byName = snap.fieldStats.map(f => f.name -> (f.docs, f.sumDl)).toMap
+    assert(byName === Map("title" -> expTitle, "body" -> expBody))
+    // the served (driver-memoized) and warm paths route per-field norms
+    // identically to the cold distributed path
+    val q = BoolQuery(should = BoolQuery.fieldText("title", topTitleTok) ++
+      BoolQuery.fieldText("body", topBodyTok) ++
+      Seq(BoolQuery.keyword("lang", "de")))
+    val cold = Searcher.search(spark, dir, q, 15)
+      .map(h => (h.docId, h.url, h.score)).toSeq
+    val h = new graft.search.IndexHandle(spark, dir, warm = true)
+    try {
+      assert(h.search(q, 15).map(x => (x.docId, x.url, x.score)).toSeq === cold)
+      assert(h.servedSearch(q, 15).map(x => (x.docId, x.url, x.score)).toSeq === cold)
+    } finally h.close()
+    assert(cold.nonEmpty)
+  }
+
+  test("keyword clause in should contributes exactly idf (norms disabled)") {
+    val dir = freshIndex()
+    val q = BoolQuery(should = Seq(BoolQuery.keyword("lang", "de")))
+    val hits = Searcher.search(spark, dir, q, 5)
+    val dfDe = rows.count(_._4 == "de").toLong
+    val expected = graft.search.Bm25.idf(rows.size.toLong, dfDe)
+    assert(hits.nonEmpty)
+    hits.foreach(h => assert(h.score === expected))
+  }
+
+  test("purge preserves per-field norms (scores == fresh build over live docs)") {
+    val dir = freshIndex()
+    val dead = rows.map(_._1).sorted.grouped(6).map(_.head).toSet
+    graft.index.Deletes.delete(spark, dir, dead.toSeq)
+    graft.index.Deletes.purge(spark, dir)
+    val live = docsMap.filterNot { case (u, _) => dead.contains(u) }
+    val liveRows = rows.filterNot(r => dead.contains(r._1))
+    // recomputed live-only fieldStats
+    val snap = Snapshot.latest(dir).get
+    def dlOf(v: String): Long =
+      graft.analysis.Analyzer.termFreqs(v).valuesIterator.sum.toLong
+    val byName = snap.fieldStats.map(f => f.name -> (f.docs, f.sumDl)).toMap
+    assert(byName("body") ===
+      (liveRows.count(r => dlOf(r._3) > 0).toLong,
+        liveRows.map(r => dlOf(r._3)).sum))
+    // (url, score) identical to a fresh build over the live docs — docIds
+    // intentionally differ (dead rank slots stay in the engine's tables)
+    val q = BoolQuery(should = BoolQuery.fieldText("title", topTitleTok) ++
+      BoolQuery.fieldText("body", topBodyTok))
+    val engine = Searcher.search(spark, dir, q, 12).map(h => (h.url, h.score)).toSeq
+    val oracle = OracleSearch.fieldTopK(live, fields, q, 12, cfg.numSegments)
+      .map(h => (h.url, h.score)).toSeq
+    assert(engine === oracle)
+    assert(engine.nonEmpty)
+  }
+
   test("multi-field config is validated loudly") {
     val df = rows.toDF("url", "title", "body", "lang")
     def tryBuild(c: IndexConfig): Unit = {

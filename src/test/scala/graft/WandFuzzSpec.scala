@@ -63,7 +63,7 @@ class WandFuzzSpec extends SparkSuite {
           IndexBuilder.TokRowsForTest(1, t, ps.map(_._1).toArray,
             ps.map(_._2).toArray, ps.map(_._3).toArray), blockSize)
         val it = new PostingIterator(row,
-          Bm25.idf(n.toLong, ps.size.toLong), blockSize, avgdl)
+          Bm25.idf(n.toLong, ps.size.toLong), blockSize, avgdl, lens)
         it -> (t, ps)
       }
       // brute force, ascending term order (same float order as Wand's eval)
@@ -87,12 +87,11 @@ class WandFuzzSpec extends SparkSuite {
             IndexBuilder.TokRowsForTest(1, t, ps.map(_._1).toArray,
               ps.map(_._2).toArray, ps.map(_._3).toArray), blockSize)
           val it = new PostingIterator(row,
-            Bm25.idf(n.toLong, ps.size.toLong), blockSize, avgdl)
+            Bm25.idf(n.toLong, ps.size.toLong), blockSize, avgdl, lens)
           it.start()
           it
         }.sortBy(_.term).toArray
-        val got = graft.search.Wand.topK(fresh, lens, segBase, avgdl, k,
-          floor = f)
+        val got = graft.search.Wand.topK(fresh, k, floor = f)
         assert(got.map(h => (h.docId, h.score)).toSeq === expected,
           s"round=$round k=$k floor=$f")
       }
@@ -192,7 +191,7 @@ class WandFuzzSpec extends SparkSuite {
       assert(Varint.decodeDeltas(encoded.docBytes, segBase).toSeq === docIds.toSeq)
 
       // random monotone seek pattern vs linear reference
-      val cursor = new PostingIterator(encoded, 1.0, blockSize, 25.0)
+      val cursor = new PostingIterator(encoded, 1.0, blockSize, 25.0, null)
       cursor.start()
       var target = segBase
       while (target < docIds.last + 5) {
