@@ -54,6 +54,26 @@ object SparkEntry {
         IndexConfig(numSegments = 1, blockSize = 64, suggest = true))
     }
 
+  /** q57: a MID-SIZE corpus for scan enumeration — every lineitem becomes
+    * a document of derived category tokens (returnflag/linestatus/ship
+    * month/quantity bucket), 60k docs at sf0.01, so the scan-with-query
+    * surface is oracled at 10^4+ matches instead of double digits. Small
+    * markerChunkDocs forces multi-chunk url tables per segment, so the
+    * chunked rank-lockstep walk is exercised by a DuckDB-checked query. */
+  private def lineitemIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(s"$dir#lineitem") { idx =>
+      val pages = t(spark, dir, "lineitem").select(
+        format_string("li://%010d",
+          col("l_orderkey") * 10 + col("l_linenumber")).as("url"),
+        concat_ws(" ", lit("item"),
+          concat(lit("rf"), lower(col("l_returnflag"))),
+          concat(lit("ls"), lower(col("l_linestatus"))),
+          format_string("m%02d", month(col("l_shipdate"))),
+          concat(lit("qb"), floor(col("l_quantity") / 10).cast("int"))).as("text"))
+      IndexBuilder.build(spark, pages, idx,
+        IndexConfig(numSegments = 4, blockSize = 128, markerChunkDocs = 4096))
+    }
+
   /** q51: MULTI-FIELD index over documents — title = first 5 tokens, body
     * = the rest (they partition the text, so whole-doc length equals the
     * single-field one), lang as an unanalyzed keyword field. The
@@ -72,7 +92,10 @@ object SparkEntry {
         IndexConfig(numSegments = 1, blockSize = 64, fields = Seq(
           graft.index.FieldDef("title"),
           graft.index.FieldDef("body"),
-          graft.index.FieldDef("lang", keyword = true))))
+          graft.index.FieldDef("lang", keyword = true)),
+          // doc-level autocomplete inputs (q56): title is the name-like
+          // output field, lang rides as a second input + payload
+          docSuggestFields = Seq("title", "lang")))
     }
 
   /** q39: same documents index with every doc containing "merge"
@@ -632,6 +655,29 @@ object SparkEntry {
           BoolQuery.fieldText("body", "data merge") ++
           Seq(BoolQuery.keyword("lang", "de"))), 20),
       withScore = true)),
+
+    // §2.8 SCAN/SCROLL AT MID SIZE: query-filtered enumeration of 27k+
+    // matches (must=linestatus-open, mustNot=shipped-in-january) over a
+    // 60k-doc 4-segment index with multi-chunk url tables — the same
+    // surface as q54 but at a scale where a driver-side or materializing
+    // walk would show, hash-checked row-for-row against DuckDB.
+    "q57_scan_midsize" -> ((s, d) =>
+      Searcher.matches(s, lineitemIndex(s, d),
+        BoolQuery(must = Seq("lso"), mustNot = Seq("m01")))
+        .select(expr("cast(substring(url, 6) as bigint)").as("li_key"))),
+
+    // §2.8 DOC-LEVEL COMPLETION (the reference's per-document suggestion
+    // inputs + ES completion query returning ranked documents,
+    // SearchObjects.py:54-77,334-347): autocomplete fragment 'data' ->
+    // ranked documents (weight = #inputs containing the gram, tie-break
+    // url asc == doc_id asc), payload-bearing output = the title.
+    "q56_doc_suggest" -> ((s, d) => {
+      import s.implicits._
+      val h = new graft.search.IndexHandle(s, multifieldIndex(s, d), warm = false)
+      h.suggestDocs("data", 15).toSeq.toDF("url", "output", "weight")
+        .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+          col("output"), col("weight").cast("long").as("weight"))
+    }),
 
     // §2.8 DEEP PAGING (search_after; the reference scroll-pages result
     // sets, modules/Association.py:309-311): three pages of 7 stitched via
@@ -1320,7 +1366,31 @@ object SparkEntry {
                     (SELECT * FROM sc UNION ALL SELECT * FROM kw)
                    GROUP BY 1)
          SELECT doc_id, round(score,6) AS score FROM
-           (SELECT doc_id, score FROM allsc ORDER BY score DESC, doc_id LIMIT 20)"""
+           (SELECT doc_id, score FROM allsc ORDER BY score DESC, doc_id LIMIT 20)""",
+    // q56: doc-level completion recompute — inputs = (title = tokens 1..5,
+    // lang), a doc matches fragment 'data' iff any token of an input
+    // CONTAINS it (contains == gram membership for len-4..10 fragments,
+    // same trick as q31), weight = #inputs matching, rank (weight desc,
+    // doc_id asc) — url asc == doc_id asc by construction.
+    "q56_doc_suggest" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l, lang
+                       FROM documents),
+         toks AS (
+           SELECT doc_id, 1 AS inp, unnest(l[1:5]) AS tok FROM base
+           UNION ALL
+           SELECT doc_id, 2 AS inp, lang AS tok FROM base
+           WHERE lang IS NOT NULL),
+         m AS (SELECT doc_id, count(DISTINCT inp) AS weight FROM toks
+               WHERE contains(tok, 'data') GROUP BY 1)
+         SELECT m.doc_id, array_to_string(b.l[1:5], ' ') AS output, m.weight
+         FROM m JOIN base b ON b.doc_id = m.doc_id
+         ORDER BY m.weight DESC, m.doc_id LIMIT 15""",
+    // q57: the scan's match SET recomputed relationally — the engine
+    // enumerates via posting/exclusion cursors + the chunked url walk,
+    // DuckDB via the defining predicates; equality is row-for-row.
+    "q57_scan_midsize" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS li_key FROM lineitem
+         WHERE lower(l_linestatus) = 'o' AND month(l_shipdate) <> 1"""
   )
 
   /** Shared multi-field oracle plumbing (q51/q55): title/body token split

@@ -226,12 +226,30 @@ object Deletes {
           s"$indexDir/$rel2")
         (Some(rel2), n)
     }
+    // doc-suggest artifact: consolidate to one dir holding only the rows
+    // of LIVE documents' CURRENT generations — a doc upserted in a later
+    // generation loses its superseded rows here (until this point stale
+    // grams may surface, exactly like ES's completion suggester serving
+    // deleted suggestions until a merge), and tombstoned docs vanish
+    val (docSugDirs, docSugRows) =
+      if (snap.docSuggestDirs == null || snap.docSuggestDirs.isEmpty) (Nil, 0L)
+      else {
+        val rel2 = f"docsuggest/purge-$newId%05d"
+        val live = IndexBuilder.liveUrlsDF(spark, s"$indexDir/$rel",
+          snap.numSegments)
+        spark.read.parquet(snap.docSuggestDirs.map(d => s"$indexDir/$d"): _*)
+          .join(live, Seq("url", "gen"), "left_semi")
+          .sort("gram", "url")
+          .write.mode("overwrite").parquet(s"$indexDir/$rel2")
+        (Seq(rel2), spark.read.parquet(s"$indexDir/$rel2").count())
+      }
     val neu = snap.copy(id = newId, parent = snap.id,
       numDocs = metas.map(_.docs).sum,
       sumDocLen = metas.map(_.sumDocLen).sum,
       dataDirs = Seq(rel), termdictDir = Some(dictRel),
       segments = metas, deletedDocs = 0L,
       suggestDir = sugRel, suggestRows = sugRows,
+      docSuggestDirs = docSugDirs, docSuggestRows = docSugRows,
       // per-field norms follow the same live-docs-only contract
       fieldStats =
         if (snap.fieldDefs.isEmpty) Nil

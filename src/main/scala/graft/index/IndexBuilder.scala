@@ -38,6 +38,13 @@ case class IndexConfig(
     // commit (opt-in, like an ES mapping declaring suggest fields — costs
     // one termdict-sized explode at build time)
     suggest: Boolean = false,
+    // DOC-level completion suggestions (the reference's per-document
+    // suggestion inputs, mrtarget/modules/SearchObjects.py:54-77): an
+    // ordered list of input columns whose lowercased values feed the
+    // gram -> (document, payload) autocomplete artifact. Empty = no doc
+    // suggest. Pinned in the snapshot; appends keep extending the
+    // artifact, purge filters dead documents out of it.
+    docSuggestFields: Seq[String] = Nil,
     // empty = the classic single-field contract (one analyzed `text`
     // column). Non-empty = multi-field: every field's terms are stored
     // behind a `name` tag, queries scope clauses to fields via
@@ -280,6 +287,12 @@ object IndexBuilder {
       cfg: IndexConfig = IndexConfig(),
       resume: Boolean = false,
       simulateOnlySegments: Option[Set[Int]] = None): SnapshotMeta = {
+    if (cfg.docSuggestFields.nonEmpty) {
+      val avail = if (cfg.fields.isEmpty) Seq("url", "text")
+        else "url" +: cfg.fields.map(_.name)
+      require(cfg.docSuggestFields.forall(avail.contains),
+        s"docSuggestFields ${cfg.docSuggestFields} not all in input columns $avail")
+    }
     if (cfg.fields.nonEmpty) {
       validateFields(cfg.fields)
       // the suggest artifact is a user-facing term surface; field-tagged
@@ -330,7 +343,9 @@ object IndexBuilder {
     // fields are a pinned index property — re-derive from the snapshot so
     // appended generations tokenize identically to the original build
     val cfg = IndexConfig(P, prior.blockSize, fields = prior.fieldDefs,
-      markerChunkDocs = prior.markerChunkDocs)
+      markerChunkDocs = prior.markerChunkDocs,
+      docSuggestFields =
+        if (prior.docSuggestFields == null) Nil else prior.docSuggestFields)
     val done = prior.completedSegIds
     val topGen = prior.generations - 1
     val topGenDone = (topGen * P until (topGen + 1) * P).forall(done.contains)
@@ -595,6 +610,26 @@ object IndexBuilder {
       if (cfg.fields.isEmpty) Nil
       else timed("fieldstats")(
         fieldStats(spark, allDataDirs.map(d => s"$indexDir/$d")))
+
+    // doc-suggest rows for THIS generation (the whole batch — a resumed
+    // build's final call re-derives the full generation from its batch,
+    // which the resume content-evidence pins to the original). Only
+    // complete commits write one, like the termdict.
+    val gen = segOffset / P
+    val priorDocSugDirs = prior.map(p =>
+      if (p.docSuggestDirs == null) Nil else p.docSuggestDirs).getOrElse(Nil)
+    val docSugRel =
+      if (complete && cfg.docSuggestFields.nonEmpty) {
+        val rel = f"docsuggest/gen-$gen%05d-snap-$snapId%05d"
+        timed("docsuggest")(
+          writeDocSuggest(spark, pages, s"$indexDir/$rel",
+            cfg.docSuggestFields, gen))
+        Some(rel)
+      } else None
+    val allDocSugDirs = priorDocSugDirs ++ docSugRel.toSeq
+    val docSugRows =
+      if (allDocSugDirs.isEmpty) 0L
+      else spark.read.parquet(allDocSugDirs.map(d => s"$indexDir/$d"): _*).count()
     val snap = SnapshotMeta(
       id = snapId, parent = prior.map(_.id).getOrElse(-1), status = "segments",
       numDocs = allSegments.map(_.docs).sum,
@@ -607,7 +642,10 @@ object IndexBuilder {
       suggestDir = suggestRel, suggestRows = suggestRows,
       fields = serializeFields(cfg.fields),
       markerChunkDocs = chunkDocs, termdictRows = termdictRows,
-      fieldStats = fstats, formatVersion = Snapshot.CurrentFormat)
+      fieldStats = fstats,
+      docSuggestDirs = allDocSugDirs, docSuggestRows = docSugRows,
+      docSuggestFields = cfg.docSuggestFields,
+      formatVersion = Snapshot.CurrentFormat)
     Snapshot.commit(indexDir, snap)
     snap
   }
@@ -634,6 +672,73 @@ object IndexBuilder {
       .sort("gram", "term")
       .write.mode("overwrite").parquet(outAbs)
     spark.read.parquet(outAbs).count()
+  }
+
+  /** S11/§2.8 DOC-level completion artifact: the reference assembles a
+    * per-document suggestion object — `input` = ordered field values
+    * lowercased, `output` = the name-like first field, `payload` = the
+    * field values (mrtarget/modules/SearchObjects.py:54-77) — and ES's
+    * completion suggester returns ranked DOCUMENTS for a prefix fragment.
+    * Here: one row per (gram, document) with gram ∈ Analyzer.ngrams(4..10)
+    * of any input, weight = how many inputs contain the gram (pinned
+    * ranking signal; ES ranks by document weight, which the reference
+    * never sets), gen = the generation that wrote the row (upserted
+    * documents resolve latest-wins at serve time). Gram-sorted so a probe
+    * is a pushed-down range scan, the same access shape as the termdict
+    * and the vocabulary suggest artifact. */
+  private[index] def writeDocSuggest(spark: SparkSession, pages: DataFrame,
+      outAbs: String, fieldsIn: Seq[String], gen: Int): Long = {
+    val gramsOf = udf((vs: Seq[String]) => {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      vs.foreach { v =>
+        if (v != null)
+          Analyzer.ngrams(v.toLowerCase(java.util.Locale.ROOT)).distinct
+            .foreach(g => m.update(g, m.getOrElse(g, 0) + 1))
+      }
+      m.toSeq
+    })
+    pages.select(col("url"),
+        // output = the first configured field (the reference's
+        // name-defaulting: empty name falls back to the next field)
+        coalesce((fieldsIn.map(col) :+ col("url")): _*).as("output"),
+        map(fieldsIn.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*)
+          .as("payload"),
+        explode(gramsOf(array(fieldsIn.map(f => col(f).cast("string")): _*)))
+          .as("ge"))
+      .select(col("ge._1").as("gram"), col("url"), col("output"),
+        col("payload"), col("ge._2").as("weight"), lit(gen).as("gen"))
+      .sort("gram", "url")
+      .write.mode("overwrite").parquet(outAbs)
+    spark.read.parquet(outAbs).count()
+  }
+
+  /** Live (url, generation) pairs of a (purged) data dir: the url tables
+    * minus tombstoned ranks, enumerated executor-side per segment. An
+    * upserted url's OLD docId is tombstoned, so each live url surfaces
+    * exactly with its CURRENT generation — the doc-suggest purge filter
+    * joins on both columns to drop superseded-generation rows. */
+  private[index] def liveUrlsDF(
+      spark: SparkSession, absDir: String, numSegments: Int): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(absDir).as[PostingRow]
+      .filter(col("term") === lit(TermUrls) || col("term") === lit(TermDels))
+      .groupByKey(_.segId)
+      .flatMapGroups { (segId: Int, it: Iterator[PostingRow]) =>
+        val rows = it.toSeq
+        val dead = new java.util.BitSet()
+        val segB = segBase(segId)
+        val gen = segId / numSegments
+        rows.filter(_.term == TermDels).foreach(r =>
+          docIdStream(r).foreach(d => dead.set((d - segB - 1).toInt)))
+        val urlChunks = rows.filter(_.term == TermUrls).sortBy(_.chunk)
+        var rank = 0
+        urlChunks.iterator.flatMap { c =>
+          Varint.decodeStrings(c.tfBytes).iterator.filter { _ =>
+            val live = !dead.get(rank); rank += 1; live
+          }.map(u => (u, gen))
+        }
+      }
+      .toDF("url", "gen")
   }
 
   /** Global term dictionary over committed segment dirs. Explicit two-phase
@@ -1005,7 +1110,9 @@ object IndexBuilder {
     // dirs — every subsequent query would throw. Verify referenced dirs
     // still exist before re-pointing.
     val missing = (target.dataDirs ++ target.termdictDir.toSeq ++
-      target.suggestDir.toSeq).filterNot(rel =>
+      target.suggestDir.toSeq ++
+      (if (target.docSuggestDirs == null) Nil else target.docSuggestDirs))
+      .filterNot(rel =>
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, rel)))
     require(missing.isEmpty,
       s"rollback target $toId references vacuumed dirs: ${missing.mkString(", ")}")
@@ -1031,7 +1138,8 @@ object IndexBuilder {
       if (snap.isComplete) Seq(snap)
       else snap +: Snapshot.list(indexDir).filter(_.isComplete).lastOption.toSeq
     val referenced = refSnaps
-      .flatMap(s => s.dataDirs ++ s.termdictDir.toSeq ++ s.suggestDir.toSeq).toSet
+      .flatMap(s => s.dataDirs ++ s.termdictDir.toSeq ++ s.suggestDir.toSeq ++
+        (if (s.docSuggestDirs == null) Nil else s.docSuggestDirs)).toSet
     def orphansIn(sub: String, prefix: String): Seq[String] = {
       val dir = java.nio.file.Paths.get(indexDir, sub)
       if (!java.nio.file.Files.isDirectory(dir)) Nil
@@ -1045,7 +1153,8 @@ object IndexBuilder {
       }
     }
     val orphans = orphansIn("data", "data") ++
-      orphansIn("termdict", "termdict") ++ orphansIn("suggest", "suggest")
+      orphansIn("termdict", "termdict") ++ orphansIn("suggest", "suggest") ++
+      orphansIn("docsuggest", "docsuggest")
     orphans.foreach(rel => deleteTree(java.nio.file.Paths.get(indexDir, rel)))
     orphans
   }

@@ -66,6 +66,14 @@ case class SnapshotMeta(
     // tables, see PostingRow docs). Pinned like blockSize: readers derive
     // chunk rank bases (chunk * markerChunkDocs) from this value.
     markerChunkDocs: Int = 0,
+    // DOC-level completion artifact (gram -> document + payload; the
+    // reference's per-document suggestion inputs, SearchObjects.py:54-77):
+    // one dir per generation, latest-wins by `gen` at serve time; purge
+    // consolidates to one live-only dir. docSuggestFields is the pinned
+    // ordered input-column list; rows counts across all dirs.
+    docSuggestDirs: Seq[String] = Nil,
+    docSuggestRows: Long = 0L,
+    docSuggestFields: Seq[String] = Nil,
     // per-analyzed-field (docCount, sum field length) — the per-field
     // BM25 norm inputs; empty for classic single-field indexes
     fieldStats: Seq[FieldStat] = Nil,

@@ -1073,6 +1073,56 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     all.take(k)
   }
 
+  /** DOC-level autocomplete over the snapshot's doc-suggest artifact
+    * (IndexConfig.docSuggestFields — the reference's per-document
+    * suggestion inputs + ES completion suggester returning ranked
+    * documents, mrtarget/modules/SearchObjects.py:54-77,334-347): top-k
+    * (url, output, weight) for a prefix fragment, ranked by (weight desc,
+    * url asc) with weight = how many inputs contain the fragment's gram.
+    * Documents re-written by upsert resolve LATEST-wins via the artifact's
+    * generation column. The probe is a pushed-down gram scan; the top-k
+    * cut runs distributed, so only k rows reach the driver. Memoized per
+    * fragment like [[suggest]]. */
+  def suggestDocs(fragment: String, k: Int): Array[(String, String, Int)] = {
+    require(snap.docSuggestDirs != null && snap.docSuggestDirs.nonEmpty,
+      "this snapshot has no doc-suggest artifact - build with " +
+        "IndexConfig(docSuggestFields = ...)")
+    val key = fragment.toLowerCase(java.util.Locale.ROOT)
+    if (key.length < 4 || key.length > 10) return Array.empty
+    def fetch(n: Int): Array[(String, String, Int)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("url")).orderBy(col("gen").desc)
+      spark.read
+        .parquet(snap.docSuggestDirs.map(d => s"$indexDir/$d"): _*)
+        .filter(col("gram") === key)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // upserted docs: newest generation wins
+        .orderBy(col("weight").desc, col("url").asc)
+        .limit(n)
+        .select("url", "output", "weight").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    }
+    if (k > suggestFetch) return fetch(k)
+    val cached = suggestDocsCacheLock.synchronized(Option(suggestDocsCache.get(key)))
+    val all = cached.getOrElse {
+      val rows = fetch(suggestFetch)
+      suggestDocsCacheLock.synchronized(suggestDocsCache.put(key, rows))
+      rows
+    }
+    all.take(k)
+  }
+
+  // lazy: suggestCacheCap is declared further down the class body, and a
+  // strict val here would read it as 0 during construction (the cache
+  // would silently evict everything)
+  private lazy val suggestDocsCache =
+    new java.util.LinkedHashMap[String, Array[(String, String, Int)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[(String, String, Int)]]): Boolean =
+        size() > suggestCacheCap
+    }
+  private val suggestDocsCacheLock = new Object
+
   // per-fragment suggest memo: top-`suggestFetch` rows per gram, LRU-capped
   // so a long-lived serving handle holds O(cap * fetch) strings, never the
   // artifact
