@@ -145,7 +145,8 @@ object Bench {
     // sweep's per-query numbers read as query latency, not build+query.
     val indexBacked = Seq("q21_bm25_topk", "q31_suggest", "q32_bool_query",
       "q33_ids_filter", "q39_delete_search", "q40_purge_search",
-      "q41_upsert_search", "q49_fetch_source", "q51_field_search")
+      "q41_upsert_search", "q49_fetch_source", "q51_field_search",
+      "q57_scan_midsize") // q55/q56 share q51's multifield index
     val prewarm = indexBacked.flatMap(name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -204,6 +205,10 @@ object Bench {
     pool.shutdown()
     val servedQps = qpsThreads * perThread / ((System.nanoTime() - tq0) / 1e9)
 
+    // machine-speed canary, measured at the END of the run (the steady
+    // state the latency numbers above were taken in)
+    val (canCpu, canMem) = graft.tools.BenchHarness.canary()
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val pw = prewarm.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -211,7 +216,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val prewarmTotal = prewarm.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_efficiency_trimmed_min":${effTrimmed.head}%.3f,"scaling_efficiency_trimmed_max":${effTrimmed.last}%.3f,"scaling_outlier_pairs":$outlierPairs,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_efficiency_trimmed_min":${effTrimmed.head}%.3f,"scaling_efficiency_trimmed_max":${effTrimmed.last}%.3f,"scaling_outlier_pairs":$outlierPairs,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f,"canary_cpu_mops":$canCpu%.1f,"canary_membw_gbps":$canMem%.2f}""")
     spark.stop()
     // free the tmpfs space
     scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()

@@ -698,9 +698,14 @@ object IndexBuilder {
       m.toSeq
     })
     pages.select(col("url"),
-        // output = the first configured field (the reference's
-        // name-defaulting: empty name falls back to the next field)
-        coalesce((fieldsIn.map(col) :+ col("url")): _*).as("output"),
+        // output = the first configured field with a non-empty value (the
+        // reference's name-defaulting treats '' as missing: `if not name:
+        // name = id`, SearchObjects.py:35-43) — nullif('') makes coalesce
+        // skip empties too; cast matches the payload/gram handling so
+        // non-string input columns serve as strings, not a CCE at probe
+        coalesce((fieldsIn.map(f =>
+          nullif(col(f).cast("string"), lit(""))) :+ col("url")): _*)
+          .as("output"),
         map(fieldsIn.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*)
           .as("payload"),
         explode(gramsOf(array(fieldsIn.map(f => col(f).cast("string")): _*)))

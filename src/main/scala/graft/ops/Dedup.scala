@@ -143,20 +143,52 @@ object Dedup {
     * table — the AQE trade: O(input) statistics to avoid a potentially
     * quadratic wrong plan. */
   def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, blowupFactor: Double = 8.0): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-    // doubles: df·(df−1) overflows Long at df ~ 3e9, and a cost estimate
-    // needs no exactness there
-    val st = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df").cast("double") * (col("df") - 1) / 2).as("pairs"),
-        sum(col("df")).as("rows"))
-      .head()
-    val pairs = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
-    val rows = if (st.isNullAt(1)) 0L else st.getLong(1)
-    if (pairs <= blowupFactor * rows)
-      jaccardPairs(docs, idCol, textCol, n, threshold)
-    else
-      jaccardPairsPrefix(docs, idCol, textCol, n, threshold)
+      n: Int, threshold: Double, blowupFactor: Double = 8.0): DataFrame =
+    jaccardPairsAutoDecided(docs, idCol, textCol, n, threshold, blowupFactor)._1
+
+  /** The selector's decision record — observability for the cost-based
+    * plan choice: a 100x-scale operator must be able to see WHY a dedup
+    * run picked the expensive plan (ExplainAudit prints it; the run also
+    * logs it at INFO and stamps it into the Spark job description so it
+    * shows on the UI/event log next to the dedup's jobs). */
+  final case class JaccardPlanDecision(
+      pairs: Double, rows: Long, blowupFactor: Double, usePrefix: Boolean) {
+    def budget: Double = blowupFactor * rows
+    def describe: String =
+      f"jaccard-auto: est pairs=$pairs%.0f (Σ df·(df−1)/2), shingle rows=$rows, " +
+        f"budget=$budget%.0f (${blowupFactor}%.1fx rows) -> " +
+        (if (usePrefix) "PREFIX-FILTER plan (simple join would blow up quadratically)"
+         else "simple single-shuffle join")
+  }
+
+  /** [[jaccardPairsAuto]] + the decision it made. */
+  def jaccardPairsAutoDecided(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blowupFactor: Double = 8.0)
+      : (DataFrame, JaccardPlanDecision) = {
+    val sc = docs.sparkSession.sparkContext
+    // scope the UI/event-log job description to the selector's OWN jobs:
+    // setJobDescription is a sticky thread-local, and leaving it set would
+    // mislabel every subsequent job on this thread with the dedup text
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("jaccard-auto: measuring pair estimate")
+    try {
+      val sh = shingleTable(docs, idCol, textCol, n)
+      // doubles: df·(df−1) overflows Long at df ~ 3e9, and a cost estimate
+      // needs no exactness there
+      val st = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df").cast("double") * (col("df") - 1) / 2).as("pairs"),
+          sum(col("df")).as("rows"))
+        .head()
+      val pairs = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
+      val rows = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val d = JaccardPlanDecision(pairs, rows, blowupFactor,
+        usePrefix = pairs > blowupFactor * rows)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(d.describe)
+      val out =
+        if (d.usePrefix) jaccardPairsPrefix(docs, idCol, textCol, n, threshold)
+        else jaccardPairs(docs, idCol, textCol, n, threshold)
+      (out, d)
+    } finally sc.setJobDescription(prevDesc)
   }
 
   /** Per-permutation MinHash: h_i(s) = splitmix-rehash of (hash64(s), i). */

@@ -705,7 +705,6 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       case Some(x) => x
     }
     val kk = k
-    val avg = avgdl
     val bs = blockSize
     val aft: SegHit = SegHit.fromCursor(after)
     val nc = normCtx // local copy — the closure must not capture the handle

@@ -121,7 +121,11 @@ object EventStream {
         .foreachBatch { (b: DataFrame, _: Long) =>
           val keyIdx = latestBy.map(b.schema.fieldIndex)
           // batches arrive in order; an update-mode agg emits each changed
-          // key once per batch — put() keeps the newest
+          // key once per batch — put() keeps the newest. The collect() is
+          // bounded by the CHANGED KEYS PER MICRO-BATCH (not the stream's
+          // key universe); this demo/spec sink materializes the final
+          // table on the driver by design — a production update-mode sink
+          // would write per-batch deltas to a keyed store instead
           b.collect().foreach(r => acc.put(keyIdx.map(r.get), r))
         }
         .start()

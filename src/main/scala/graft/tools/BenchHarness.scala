@@ -45,6 +45,53 @@ object BenchHarness {
     corpusDir
   }
 
+  /** Machine-speed canary: a fixed single-thread CPU score (splitmix64
+    * steps/us) and a memory-bandwidth score (GB/s summing a 256 MB long
+    * array), stamped into every bench JSON. Cross-round comparisons on
+    * this shared VM keep dissolving into "the host was 15-25% slow that
+    * day" — the canary lets BASELINE.md normalize round-over-round tables
+    * by measured machine speed instead of guessing. Warmup pass + best of
+    * two measured passes (interference only ever slows it down, so max is
+    * the honest machine estimate); ~5 s total. */
+  def canary(): (Double, Double) = {
+    def cpuOnce(): Double = {
+      val iters = 200000000L
+      var h = 0x123456789abcdefL
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < iters) {
+        h += 0x9e3779b97f4a7c15L
+        h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+        h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+        h ^= (h >>> 31)
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) print("") // defeat dead-code elimination
+      iters / sec / 1e6
+    }
+    def memOnce(arr: Array[Long]): Double = {
+      val passes = 4
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var p = 0
+      while (p < passes) {
+        var i = 0
+        while (i < arr.length) { acc += arr(i); i += 1 }
+        p += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) print("")
+      passes.toDouble * arr.length * 8 / sec / 1e9
+    }
+    val arr = new Array[Long](32 * 1024 * 1024) // 256 MB, defeats caches
+    java.util.Arrays.fill(arr, 7L)
+    cpuOnce(); memOnce(arr) // JIT warmup
+    val cpu = math.max(cpuOnce(), cpuOnce())
+    val mem = math.max(memOnce(arr), memOnce(arr))
+    (cpu, mem)
+  }
+
   def deleteDir(dir: String): Unit =
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
 

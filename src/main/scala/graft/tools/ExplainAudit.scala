@@ -121,7 +121,14 @@ object ExplainAudit {
     // shingles the selector must pick the single-shuffle simple join (no
     // Window node — the per-doc df-ordering window is the prefix plan's
     // structural marker)...
-    val p7a = plan(graft.SparkEntry.queries("q11_jaccard_neardup")(spark, sfDir))
+    // one decided call per corpus: it IS q11's construction (same selector,
+    // same shingle stats), so planning its DataFrame avoids re-running the
+    // O(corpus) selector aggregation a second time through SparkEntry
+    val docsTbl = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (plainDf, decPlain) = graft.ops.Dedup.jaccardPairsAutoDecided(
+      docsTbl, "doc_id", "text", 3, 0.5)
+    println(s"[explain] q11 decision (bounded-df): ${decPlain.describe}")
+    val p7a = plan(plainDf)
     check("q11 auto picks simple join on bounded-df corpus", p7a, Seq(
       "Window" -> false,
       "CartesianProduct" -> false,
@@ -138,7 +145,12 @@ object ExplainAudit {
         org.apache.spark.sql.functions.concat(
           org.apache.spark.sql.functions.lit(headPfx),
           org.apache.spark.sql.functions.col("text")).as("text"))
-    val p7skew = plan(graft.ops.Dedup.jaccardPairsAuto(skewed, "doc_id", "text", 3, 0.5))
+    val (skewDf, decSkew) = graft.ops.Dedup.jaccardPairsAutoDecided(
+      skewed, "doc_id", "text", 3, 0.5)
+    println(s"[explain] q11 decision (head-skew): ${decSkew.describe}")
+    require(!decPlain.usePrefix && decSkew.usePrefix,
+      "selector decisions drifted from the planted corpora")
+    val p7skew = plan(skewDf)
     check("q11 auto picks prefix-filter plan under head skew", p7skew, Seq(
       "Window" -> true,
       "CartesianProduct" -> false,

@@ -99,6 +99,32 @@ class DedupSpec extends SparkSuite {
     assert(got.length === 30 * 29 / 2 && got.forall(_._3 === 1.0))
   }
 
+  test("selector decision record: logged estimate == the aggregation's value") {
+    // independent recompute of the decision statistic pairs = Σ df·(df−1)/2
+    // over the SAME shingle table the selector aggregates
+    def expect(d: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val dfs = Dedup.shingleTable(d, "id", "text", 3)
+        .groupBy("shingle").count().as[(String, Long)].collect().map(_._2)
+      (dfs.map(df => df.toDouble * (df - 1) / 2).sum, dfs.sum)
+    }
+    val (_, decPlain) = Dedup.jaccardPairsAutoDecided(docs, "id", "text", 3, 0.5)
+    val (expPairs, expRows) = expect(docs)
+    assert(decPlain.pairs === expPairs)
+    assert(decPlain.rows === expRows)
+    assert(!decPlain.usePrefix && decPlain.pairs <= decPlain.budget)
+    assert(decPlain.describe.contains("simple single-shuffle join"))
+
+    val same = (0 until 30).map(i => (i.toLong, "aa bb cc dd ee ff gg hh"))
+      .toDF("id", "text")
+    val (_, decSkew) = Dedup.jaccardPairsAutoDecided(same, "id", "text", 3, 0.5)
+    val (skPairs, skRows) = expect(same)
+    assert(decSkew.pairs === skPairs)
+    assert(decSkew.rows === skRows)
+    assert(decSkew.usePrefix && decSkew.pairs > decSkew.budget)
+    // 6 distinct shingles x C(30,2) each
+    assert(skPairs === 6.0 * (30 * 29 / 2))
+  }
+
   test("prefix-filtered Jaccard keeps exact-boundary pairs (float slack)") {
     // B's 7 shingles ⊂ A's 25 → J = 7/25 = 0.28 exactly. The size-ratio
     // prune computes 0.28*25 = 7.000000000000001 in doubles; without the

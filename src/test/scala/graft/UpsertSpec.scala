@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.analysis.Analyzer
 import graft.corpus.Corpus
-import graft.index.{Deletes, IndexBuilder, IndexConfig, Snapshot}
+import graft.index.{Deletes, Hashing, IndexBuilder, IndexConfig, Snapshot}
 import graft.search.{BoolQuery, IndexHandle, Searcher}
 
 /** Recrawl lifecycle: `IndexBuilder.upsert` (tombstone old version + append
@@ -29,6 +29,33 @@ class UpsertSpec extends SparkSuite {
   private def recrawl: Seq[(String, String)] = docs.zipWithIndex
     .collect { case ((url, text), i) if i % 5 == 0 =>
       (url, text + " zzrecrawled fresh tokens") }
+
+  test("upsert candidate segments stay batch-bounded as the index grows") {
+    // the regression guard for streaming-upsert flatness: the marker scan
+    // reads exactly |distinct s0(batch urls)| x generations segments —
+    // O(batch x generations), NEVER O(index). Timing lives in
+    // tools/UpsertFlatProbe; this pins the count formula.
+    val dir = freshIndex()
+    val batchUrls = docs.take(7).map(_._1)
+    val batch = batchUrls.map(u => (u, "probe text")).toDF("url", "text")
+    Seq(1, 2, 4).foreach { gens =>
+      while (Snapshot.latest(dir).get.generations < gens) {
+        val g = Snapshot.latest(dir).get.generations
+        val extra = Corpus.pages(spark, 60, seed = 11, vocabSize = 400,
+          medianLen = 40, startId = 1000L * g).select("url", "text").toDF()
+        IndexBuilder.append(spark, extra, dir)
+      }
+      val snap = Snapshot.latest(dir).get
+      assert(snap.generations === gens)
+      val cand = IndexBuilder.upsertCandidateSegs(batch, snap)
+      val s0 = batchUrls.map(u =>
+        graft.index.Hashing.segmentOf(u, cfg.numSegments)).distinct.sorted
+      assert(cand.sorted === s0.flatMap(x =>
+        (0 until gens).map(_ * cfg.numSegments + x)).sorted)
+      assert(cand.size === s0.size * gens)
+      assert(cand.size <= batchUrls.size * gens) // batch-bounded, not index
+    }
+  }
 
   test("upsert: latest version wins for search and ids; stats keep old versions") {
     val dir = freshIndex()
