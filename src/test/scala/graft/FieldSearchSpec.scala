@@ -229,6 +229,51 @@ class FieldSearchSpec extends SparkSuite {
     assert(engine.nonEmpty)
   }
 
+  test("differential fuzz: random multi-field corpora + queries vs fieldTopK") {
+    // per-field norms feed the block-max bounds (maxScore/blockMaxScore
+    // use the FIELD's minDl/avgdl) — a too-tight bound silently DROPS
+    // hits, which a single-corpus rank check may never expose. Fuzz
+    // random corpora and bool shapes against the exhaustive oracle.
+    val rng = new scala.util.Random(4242)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "the", "data")
+    (1 to 4).foreach { round =>
+      val n = 60 + rng.nextInt(120)
+      val fuzzRows = (0 until n).map { i =>
+        def words(len: Int) =
+          Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+        (s"https://fuzz$round.example/p/$i",
+          words(1 + rng.nextInt(4)),          // short title
+          words(8 + rng.nextInt(30)),         // long body
+          if (rng.nextInt(5) == 0) null else Seq("en", "de")(rng.nextInt(2)))
+      }
+      val dir = Files.createTempDirectory(s"graft-ffuzz$round").toString
+      IndexBuilder.build(spark,
+        fuzzRows.toDF("url", "title", "body", "lang"), dir,
+        IndexConfig(numSegments = 3, blockSize = 4, fields = fields))
+      val docsM = fuzzRows.map { case (u, t, b, l) =>
+        u -> (Map("title" -> t, "body" -> b) ++ Option(l).map("lang" -> _))
+      }
+      def pick(f: String, k: Int) =
+        Seq.fill(k)(BoolQuery.inField(f, vocab(rng.nextInt(vocab.length))))
+      val queries = Seq(
+        BoolQuery(should = pick("title", 2) ++ pick("body", 2)),
+        BoolQuery(should = pick("body", 3) :+ BoolQuery.keyword("lang", "de")),
+        BoolQuery(must = pick("body", 1), should = pick("title", 2)),
+        BoolQuery(should = pick("title", 1),
+          mustNot = pick("body", 1)),
+        BoolQuery(must = pick("body", 2),
+          filter = Seq(BoolQuery.keyword("lang", "en"))))
+      queries.foreach { q =>
+        val k = 1 + rng.nextInt(12)
+        val engine = Searcher.search(spark, dir, q, k)
+          .map(h => (h.docId, h.url, h.score)).toSeq
+        val oracle = OracleSearch.fieldTopK(docsM, fields, q, k, 3)
+          .map(h => (h.docId, h.url, h.score)).toSeq
+        assert(engine === oracle, s"round=$round k=$k q=$q")
+      }
+    }
+  }
+
   test("multi-field config is validated loudly") {
     val df = rows.toDF("url", "title", "body", "lang")
     def tryBuild(c: IndexConfig): Unit = {
