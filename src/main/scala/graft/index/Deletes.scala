@@ -214,7 +214,7 @@ object Deletes {
 
     val metas = IndexBuilder.segmentMetrics(spark, s"$indexDir/$rel", rel)
     val dictRel = f"termdict/snap-$newId%05d"
-    IndexBuilder.writeTermdict(spark, Seq(s"$indexDir/$rel"),
+    val dictRows = IndexBuilder.writeTermdict(spark, Seq(s"$indexDir/$rel"),
       s"$indexDir/$dictRel", IndexConfig().saltBuckets)
     // the suggest artifact derives from the termdict — rebuild it from the
     // post-purge dictionary when the index carries one
@@ -247,6 +247,9 @@ object Deletes {
       numDocs = metas.map(_.docs).sum,
       sumDocLen = metas.map(_.sumDocLen).sum,
       dataDirs = Seq(rel), termdictDir = Some(dictRel),
+      // the purged vocabulary can SHRINK — a stale count would make warm
+      // handles refuse the driver dictionary forever after a mass delete
+      termdictRows = dictRows,
       segments = metas, deletedDocs = 0L,
       suggestDir = sugRel, suggestRows = sugRows,
       docSuggestDirs = docSugDirs, docSuggestRows = docSugRows,

@@ -618,18 +618,20 @@ object IndexBuilder {
     val gen = segOffset / P
     val priorDocSugDirs = prior.map(p =>
       if (p.docSuggestDirs == null) Nil else p.docSuggestDirs).getOrElse(Nil)
-    val docSugRel =
+    val docSugNew =
       if (complete && cfg.docSuggestFields.nonEmpty) {
         val rel = f"docsuggest/gen-$gen%05d-snap-$snapId%05d"
-        timed("docsuggest")(
+        val n = timed("docsuggest")(
           writeDocSuggest(spark, pages, s"$indexDir/$rel",
             cfg.docSuggestFields, gen))
-        Some(rel)
+        Some(rel -> n)
       } else None
-    val allDocSugDirs = priorDocSugDirs ++ docSugRel.toSeq
-    val docSugRows =
-      if (allDocSugDirs.isEmpty) 0L
-      else spark.read.parquet(allDocSugDirs.map(d => s"$indexDir/$d"): _*).count()
+    val allDocSugDirs = priorDocSugDirs ++ docSugNew.map(_._1).toSeq
+    // cumulative — recounting every generation's dir per commit would make
+    // a streaming index's commit cost O(total artifact), the same cost
+    // class the snapshot-log walk above avoids
+    val docSugRows = prior.map(_.docSuggestRows).getOrElse(0L) +
+      docSugNew.map(_._2).getOrElse(0L)
     val snap = SnapshotMeta(
       id = snapId, parent = prior.map(_.id).getOrElse(-1), status = "segments",
       numDocs = allSegments.map(_.docs).sum,

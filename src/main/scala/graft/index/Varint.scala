@@ -46,11 +46,19 @@ object Varint {
     out.toByteArray
   }
 
+  // primitive growable buffers: ArrayBuffer[Long] boxes every value, and
+  // these run per CHUNK (up to 2^20 values) on query paths (fetchLens
+  // misses, cold evalRows, purge) — multi-MB of boxed garbage otherwise
   def decodeLongs(bytes: Array[Byte]): Array[Long] = {
     val r = new Reader(bytes)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (r.hasNext) buf += r.readLong()
-    buf.toArray
+    var arr = new Array[Long](math.max(8, bytes.length))
+    var n = 0
+    while (r.hasNext) {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = r.readLong()
+      n += 1
+    }
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
 
   def encodeInts(vs: Iterable[Int]): Array[Byte] = {
@@ -59,7 +67,17 @@ object Varint {
     out.toByteArray
   }
 
-  def decodeInts(bytes: Array[Byte]): Array[Int] = decodeLongs(bytes).map(_.toInt)
+  def decodeInts(bytes: Array[Byte]): Array[Int] = {
+    val r = new Reader(bytes)
+    var arr = new Array[Int](math.max(8, bytes.length))
+    var n = 0
+    while (r.hasNext) {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = r.readInt()
+      n += 1
+    }
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
+  }
 
   /** Delta-encode a strictly ascending sequence (first value relative to base). */
   def encodeDeltas(sorted: Iterable[Long], base: Long): Array[Byte] = {
@@ -75,13 +93,16 @@ object Varint {
 
   def decodeDeltas(bytes: Array[Byte], base: Long): Array[Long] = {
     val r = new Reader(bytes)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var arr = new Array[Long](math.max(8, bytes.length))
+    var n = 0
     var prev = base
     while (r.hasNext) {
       prev += r.readLong()
-      buf += prev
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = prev
+      n += 1
     }
-    buf.toArray
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
 
   /** Length-prefixed UTF-8 string blob (used for per-segment url tables). */

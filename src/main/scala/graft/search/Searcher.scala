@@ -109,6 +109,45 @@ private[search] final case class CompiledQuery(
     (must ++ filter ++ mustNot ++ scoringTerms).distinct
 }
 
+/** Driver-side LRU bounded by APPROXIMATE BYTES. Entry-COUNT caps never
+  * bind when an index has few, large segments (numSegments=32 is the
+  * default — a 4096-segment cap would happily hold every doc-length table
+  * of a 10^9-doc index, the exact driver OOM the caches exist to avoid).
+  * Eviction walks LRU-first; the most recent entry always survives even
+  * when it alone exceeds the budget (the caller is about to use it).
+  * NOT internally synchronized — callers hold their own lock, matching
+  * the fetch paths' lock-free-Spark-fetch discipline. */
+private[search] final class BytesLru[K, V](maxBytes: Long, sizeOf: V => Long) {
+  private var bytes = 0L
+  private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
+  def get(k: K): V = map.get(k)
+  def put(k: K, v: V): Unit = {
+    val old = map.put(k, v)
+    if (old != null) bytes -= sizeOf(old)
+    bytes += sizeOf(v)
+    val it = map.entrySet().iterator() // access-order: LRU first
+    while (bytes > maxBytes && map.size() > 1) {
+      val e = it.next()
+      bytes -= sizeOf(e.getValue)
+      it.remove()
+    }
+  }
+  def size: Int = map.size()
+  private[search] def heldBytes: Long = bytes
+}
+
+private[search] object BytesLru {
+  /** Approximate retained bytes of one posting row (compressed streams +
+    * block metadata + object overhead). */
+  def rowBytes(r: PostingRow): Long =
+    r.docBytes.length.toLong + r.tfBytes.length + 8L * r.blockLast.length +
+      4L * (r.blockMaxTf.length + r.blockMinDl.length +
+        r.blockDocOff.length + r.blockTfOff.length) + 64L
+
+  def urlBytes(us: Array[String]): Long =
+    us.foldLeft(16L)((a, u) => a + 2L * u.length + 48L)
+}
+
 /** Per-snapshot norm routing (plain data — serializable into executor
   * closures): classic single-field indexes score every term against the
   * segment's global doc-length table; multi-field indexes score each
@@ -456,41 +495,31 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
 
   // warm handles memoize per-segment url tables on the driver: the second
   // per-query Spark job disappears once a segment's winners have been seen.
-  // LRU-bounded like the other two driver caches — url tables are the
-  // LARGEST per-segment artifact (one String per document), so an unbounded
-  // map would grow toward the whole corpus's url bytes on a long-lived
-  // handle answering ids lookups across many segments.
-  private val urlSegCap = 1024
+  // BYTE-budgeted LRU (like the other two driver caches): url tables are
+  // the LARGEST per-segment artifact (one String per document), and a
+  // count cap never binds on a few-big-segments index — the map would
+  // grow toward the whole corpus's url bytes on a long-lived handle
+  // answering ids lookups across every segment.
   private val urlCache =
-    new java.util.LinkedHashMap[Int, Array[String]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, Array[String]]): Boolean =
-        size() > urlSegCap
-    }
+    new BytesLru[Int, Array[String]](512L << 20, BytesLru.urlBytes)
 
   // served path: hot posting rows + doc-length tables memoized on the
   // driver (bounded LRU), so repeated-term queries never touch the cluster
   // — the role the reference's LRU-cached ES lookups play
   // (mrtarget/common/LookupTables.py:54-142). Cold terms cost one filtered
   // Spark fetch; everything after is local WAND over all segments.
-  private val servedTermCap = 10000
   private val postingCache =
-    new java.util.LinkedHashMap[String, Array[PostingRow]](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[PostingRow]]): Boolean =
-        size() > servedTermCap
-    }
+    new BytesLru[String, Array[PostingRow]](1024L << 20,
+      rs => rs.foldLeft(16L)((a, r) => a + BytesLru.rowBytes(r)))
   // per-segment doc-length tables + tombstone rows are fetched per candidate
   // segment and LRU-bounded: an all-segments eager collect would hold
   // O(numDocs) ints on the driver forever — GBs at 10⁹ docs. The
   // distributed path never touches this.
-  private val lensSegCap = 4096
   private val segCache =
-    new java.util.LinkedHashMap[Int, (SegLens, Seq[PostingRow])](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, (SegLens, Seq[PostingRow])]): Boolean =
-        size() > lensSegCap
-    }
+    new BytesLru[Int, (SegLens, Seq[PostingRow])](512L << 20, { case (sl, dels) =>
+      4L * sl.global.length + sl.byField.valuesIterator.map(4L * _.length).sum +
+        dels.iterator.map(BytesLru.rowBytes).sum + 64L
+    })
 
   // Each cache has its own lock, and NEITHER lock is held across a Spark
   // fetch: a cold term/segment must not serialize the concurrent hot
@@ -535,7 +564,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   }
 
   /** Test hook: current number of cached per-segment doc-length tables. */
-  private[graft] def lensCacheSize: Int = segLock.synchronized(segCache.size())
+  private[graft] def lensCacheSize: Int = segLock.synchronized(segCache.size)
 
   private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] = {
     val hit = postingLock.synchronized {
@@ -756,10 +785,21 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     }
 
     val byTerm = postings.filter(col("term").isin(wanted: _*))
-    // an ids clause pins the candidate segments — prune the scan to them
+    // an ids clause pins the candidate segments — prune the scan to them.
+    // The COLD path prunes term queries to candidate segments too (the
+    // (term, segId) pre-scan countMatches/matchesDF already pay):
+    // groupByKey would otherwise shuffle EVERY segment's doc-length and
+    // field-lens marker rows — O(corpus) varint bytes — into groups that
+    // evalRows discards for segments holding no clause posting row. The
+    // warm path groups per cached partition with ZERO exchanges, so a
+    // pre-scan job there would only add per-query scheduling latency.
     val filtered =
       if (c.hasIds) byTerm.filter(col("segId").isin(c.idsBySeg.keys.toSeq: _*))
-      else byTerm
+      else if (!warm) {
+        val cand = candidateSegs(c)
+        if (cand.isEmpty) return Array.empty
+        byTerm.filter(col("segId").isin(cand: _*))
+      } else byTerm
     // warm: the cache is explicitly clustered by segId, so per-partition
     // local grouping is safe and the query runs with ZERO exchanges.
     // cold: parquet splits can fragment a segment across tasks, so group
