@@ -26,7 +26,10 @@ object Dedup {
       .distinct.toArray
   }
 
-  private val shinglesUdf = udf((text: String, n: Int) => shingles(text, n))
+  // null-safe: a NULL text is an empty shingle set, not a task-killing NPE
+  // (consistent with exactGroups' null-safe md5 and simhash64's tokenize)
+  private val shinglesUdf = udf((text: String, n: Int) =>
+    shingles(if (text == null) "" else text, n))
 
   /** (id, shingle) long format, distinct per doc. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -220,7 +223,8 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigUdf = udf((text: String) => minhashOf(shingles(text, n), numHashes))
+    val sigUdf = udf((text: String) =>
+      minhashOf(shingles(if (text == null) "" else text, n), numHashes))
     val sigs = docs.select(col(idCol).as("id"),
       sigUdf(col(textCol)).as("sig"))
 

@@ -42,6 +42,12 @@ object Lookup {
       else dim.groupBy(col(dimKey)).agg(
         count(lit(1)).as("n_hits"),
         min(struct(payload.map(col): _*)).as("_dimrow")) // min = deterministic pick
+    require(!facts.columns.contains("n_hits"),
+      "ambiguityChecked: the fact table already has an n_hits column - " +
+        "rename it (the check decorates results with its own n_hits)")
+    payload.foreach(c => require(!facts.columns.contains(c),
+      s"ambiguityChecked: fact column '$c' collides with a dim payload " +
+        "column - the joined result would carry duplicate names"))
     if (strict) {
       // fail-fast probe (eager action). Deliberately NOT persisted: a
       // persist here would outlive this call — the returned join is lazy,

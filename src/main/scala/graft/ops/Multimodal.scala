@@ -66,10 +66,14 @@ object Multimodal {
     * frame extraction (one input row -> many frame rows), deterministic. */
   def sampleFramesStub(r: MediaRow, frameBytes: Int, stride: Int): Seq[MediaRow] = {
     val nFrames = math.max(1, r.media.length / math.max(1, frameBytes))
+    require(nFrames < FrameIdSpan,
+      s"sampleFrames: payload of id=${r.id} splits into $nFrames frames " +
+        s">= $FrameIdSpan - frame ids (id*span+f) would collide with the " +
+        "next document's; raise frameBytes/stride")
     (0 until nFrames by math.max(1, stride)).map { f =>
       val from = f * frameBytes
       val until = math.min(r.media.length, from + frameBytes)
-      MediaRow(r.id * 1000000L + f, s"${r.kind};frame=$f",
+      MediaRow(r.id * FrameIdSpan + f, s"${r.kind};frame=$f",
         java.util.Arrays.copyOfRange(r.media, from, until))
     }
   }
@@ -85,12 +89,25 @@ object Multimodal {
     media.mapPartitions(_.flatMap(sampleFramesStub(_, frameBytes, stride)))
   }
 
+  /** Frame-id derivation span: frame f of doc d gets id d*span+f, so a
+    * payload must split into fewer than span frames or ids would collide
+    * with the NEXT document's (both sampling paths require this loudly). */
+  val FrameIdSpan = 1000000L
+
   /** Lift any (id, text) table into a media table (utf-8 bytes as the
-    * opaque payload) — used to exercise the plumbing without real media. */
+    * opaque payload) — used to exercise the plumbing without real media.
+    * The id must already be integral: a silent cast of a string/double id
+    * would null-out or collide ids (same guard as SimSearch). */
   def fromText(docs: DataFrame, idCol: String, textCol: String,
-      kind: String = "text/plain"): DataFrame =
+      kind: String = "text/plain"): DataFrame = {
+    val dt = docs.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType,
+      s"fromText: id column '$idCol' is $dt - must be integral (a silent " +
+        "cast would null non-numeric ids)")
     docs.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("media"))
+  }
 
   // ---- REAL decode paths (graft.ops.Codecs: pure-JVM P6 PPM / PCM WAV).
   // The stub above remains the documented stand-in for formats that need a
@@ -203,9 +220,13 @@ object Multimodal {
     import spark.implicits._
     require(stride >= 1, s"stride $stride")
     media.mapPartitions(_.flatMap { r =>
-      Codecs.splitPpmFrames(r.media).zipWithIndex.collect {
+      val frames = Codecs.splitPpmFrames(r.media)
+      require(frames.length < FrameIdSpan,
+        s"sampleImageFrames: id=${r.id} has ${frames.length} frames >= " +
+          s"$FrameIdSpan - frame ids would collide across documents")
+      frames.zipWithIndex.collect {
         case (img, f) if f % stride == 0 =>
-          MediaRow(r.id * 1000000L + f, s"${r.kind};frame=$f",
+          MediaRow(r.id * FrameIdSpan + f, s"${r.kind};frame=$f",
             Codecs.encodePpm(img))
       }
     })

@@ -169,12 +169,17 @@ object Ontology {
 
   /** [[ancestorChain]] with a [[PinnedResult]] release handle. */
   def ancestorChainManaged(edges: DataFrame, maxRounds: Int = 20): PinnedResult = {
-    val dup = edges.groupBy(col("id")).count()
+    // a doubly-ASSERTED subClassOf is one parent, not two (RDF sources
+    // routinely repeat triples) — dedup before the forest check, and feed
+    // the deduped edges to the closure so repeated rows cannot double
+    // its path accounting either
+    val e = edges.distinct()
+    val dup = e.groupBy(col("id")).count()
       .filter(col("count") > 1).select(col("id")).limit(1).collect()
     require(dup.isEmpty,
       s"ancestorChain: node ${if (dup.nonEmpty) dup(0).get(0) else ""} has " +
         "multiple parents — a forest is required (ancestorPaths handles DAGs)")
-    closure(edges, maxRounds, "ancestorChain")
+    closure(e, maxRounds, "ancestorChain")
   }
 
   /** ALL root-first ancestor paths per node over a multi-inheritance DAG:

@@ -317,7 +317,11 @@ object SimSearch {
     * probe's bucket in any of `tables` independent hash tables. */
   def annTopK(emb: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val probe = emb.select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "annTopK: embedding table is empty (or its first vector is null) - " +
+        "cannot derive the hyperplane dimensionality")
+    val dim = probe(0).getInt(0)
     val planeVecs: Array[Array[Array[Double]]] = Array.tabulate(tables, planes) {
       (t, p) => hyperplane(t * planes + p, dim)
     }

@@ -87,7 +87,8 @@ object TextOps {
     acc
   }
 
-  val rollingHashUdf = udf((text: String) => rollingHash(text))
+  val rollingHashUdf = udf((text: String) =>
+    rollingHash(if (text == null) "" else text))
 
   val simhashHexUdf = udf((text: String) => f"${Dedup.simhash64(text)}%016x")
 }

@@ -42,8 +42,10 @@ object EventStream {
       .as[Event]
   }
 
-  /** Watermarked sliding-window counts per event type (streaming analogue
-    * of q25's per-type aggregation). */
+  /** Watermarked TUMBLING-window counts per event type (streaming analogue
+    * of q25's per-type aggregation; window() with no slide interval builds
+    * non-overlapping 5-minute buckets — an oracle expecting sliding
+    * windows would fan each event into multiple rows and mismatch). */
   def windowedCounts(events: Dataset[Event]): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

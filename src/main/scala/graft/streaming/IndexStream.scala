@@ -251,7 +251,18 @@ object IndexStream {
   }
 
   /** Start the streaming recrawl ingestion over a raw crawl directory
-    * (url, warc_ts, html, text, lang rows). */
+    * (url, warc_ts, html, text, lang rows).
+    *
+    * Cross-batch ORDERING CONTRACT: newest-wins is enforced WITHIN a
+    * micro-batch (Ingest.prepareBatch keeps the max-warc_ts edition per
+    * url), but the index stores no capture timestamp, so a LATER batch
+    * carrying an OLDER capture of an already-indexed url upserts it and
+    * rolls that url back in time. The input stream must therefore deliver
+    * each url's captures in non-decreasing warc_ts order across batches —
+    * the natural order of crawl dumps and of the reference's sequential
+    * release processing. Feeding shuffled historical dumps requires a
+    * batch boundary per dump in capture order (e.g. one trigger per dump
+    * directory). */
   def refreshStream(spark: SparkSession, srcDir: String, indexDir: String,
       cfg: IndexConfig, checkpointDir: String,
       langs: Set[String] = Set.empty,
