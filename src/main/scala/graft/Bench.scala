@@ -62,6 +62,9 @@ object Bench {
     // ---- stage the corpus once (not timed)
     var spark = session(cpus, localDir)
     spark.sparkContext.setLogLevel("WARN")
+    // a failed run must still stop Spark and free the RAM-backed staging
+    // (GBs on /dev/shm) — every other bench tool wraps the same lifecycle
+    try {
     val corpusDir = graft.tools.BenchHarness.stageCorpus(spark, base, benchDocs)
 
     // ---- build throughput: the N->4N efficiency is a RATIO, and the
@@ -84,7 +87,7 @@ object Bench {
       // keep at most ONE finished index on tmpfs: 17 reps x GBs would
       // exhaust /dev/shm on smaller hosts before the final cleanup
       if (lastIndexDir != null)
-        scala.reflect.io.Directory(new java.io.File(lastIndexDir)).deleteRecursively()
+        graft.tools.BenchHarness.deleteDir(lastIndexDir)
       val dir = Files.createTempDirectory(Paths.get(base), s"idx-$n-$repIdx").toString
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, input, dir, cfg)
@@ -107,7 +110,7 @@ object Bench {
       if (i % 2 == 1) (buildOnce(4), buildOnce(16))
       else { val t16 = buildOnce(16); (buildOnce(4), t16) }
     }
-    def median(xs: Seq[Double]): Double = graft.tools.BenchHarness.median(xs)
+    import graft.tools.BenchHarness.median
     val tp4 = benchDocs / median(pairs.map(_._1))
     val tp16 = benchDocs / median(pairs.map(_._2))
     // efficiency from paired ratios (drift-cancelling), not from the two
@@ -201,8 +204,9 @@ object Bench {
         }
       })
     }
-    futs.foreach(_.get())
-    pool.shutdown()
+    // shutdown in finally: a worker exception rethrown from get() would
+    // otherwise leave 8 non-daemon threads alive and hang the JVM forever
+    try futs.foreach(_.get()) finally pool.shutdown()
     val servedQps = qpsThreads * perThread / ((System.nanoTime() - tq0) / 1e9)
 
     // machine-speed canary, measured at the END of the run (the steady
@@ -217,8 +221,10 @@ object Bench {
     val prewarmTotal = prewarm.map(_._2).filter(_ >= 0).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_efficiency_trimmed_min":${effTrimmed.head}%.3f,"scaling_efficiency_trimmed_max":${effTrimmed.last}%.3f,"scaling_outlier_pairs":$outlierPairs,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f,"canary_cpu_mops":$canCpu%.1f,"canary_membw_gbps":$canMem%.2f}""")
-    spark.stop()
-    // free the tmpfs space
-    scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    } finally {
+      spark.stop()
+      // free the tmpfs space
+      graft.tools.BenchHarness.deleteDir(base)
+    }
   }
 }

@@ -28,7 +28,11 @@ object SparkEntry {
     val pages = Corpus.pages(spark, 1000, seed = 42)
     IndexBuilder.build(spark, pages.toDF(), dir,
       IndexConfig(numSegments = 8, blockSize = 64))
-    Searcher.topKDF(spark, dir, "the data spark", 10)
+    // topKDF collects eagerly, so the index dir is reclaimable here — the
+    // returned DataFrame is driver-local rows, not a scan of the dir
+    val out = Searcher.topKDF(spark, dir, "the data spark", 10)
+    IndexBuilder.deleteTree(java.nio.file.Paths.get(dir))
+    out
   }
 
   /** One shared index over the driver's `documents` table per sf dir
@@ -42,9 +46,18 @@ object SparkEntry {
   private def cachedIndex(key: String)(make: String => Unit): String =
     docIdxCache.computeIfAbsent(key, _ => {
       val idx = Files.createTempDirectory("graft-docs-idx").toString
+      // the dirs must outlive every query of the run, so reclamation
+      // happens at JVM exit — repeated Verify/Bench runs on a shared host
+      // would otherwise accrete index trees in /tmp indefinitely
+      idxCleanupHook
       make(idx)
       idx
     })
+
+  private lazy val idxCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      docIdxCache.values().forEach(d =>
+        graft.index.IndexBuilder.deleteTree(java.nio.file.Paths.get(d)))))
   private def documentsIndex(spark: SparkSession, dir: String): String =
     cachedIndex(dir) { idx =>
       // suggest = true: this index also commits the persisted ngram->term

@@ -51,7 +51,7 @@ object BigSmoke {
       println(f"""{"bigsmoke_docs":$docs,"segments":$segments,"build_sec":$sec%.1f,"docs_per_sec":${docs / sec}%.0f,"postings":$postings,"index_bytes":$idxBytes,"bytes_per_posting":${idxBytes.toDouble / postings}%.2f,"min_docs_per_seg":${segDocs.min},"max_docs_per_seg":${segDocs.max},"top1_score":${hits.head.score},"hits":${hits.length}}""")
     } finally {
       spark.stop()
-      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      BenchHarness.deleteDir(base)
     }
   }
 }

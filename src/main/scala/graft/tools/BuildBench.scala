@@ -73,10 +73,10 @@ object BuildBench {
         println(f"[buildbench] local[$n] rep$r: $sec%.2f s  ${docs / sec}%.0f docs/s")
         // delete each rep's multi-GB index immediately — reps x levels of
         // them would otherwise fill the tmp dir (same hazard Bench guards)
-        scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+        BenchHarness.deleteDir(dir)
         sec
       }
-      scala.reflect.io.Directory(new java.io.File(warmDir)).deleteRecursively()
+      BenchHarness.deleteDir(warmDir)
       spark.stop()
       val best = times.min
       n -> (docs / best)

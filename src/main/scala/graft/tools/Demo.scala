@@ -29,6 +29,9 @@ object Demo {
     println(s"[demo] corpus: $nDocs pages, building index under $dir")
     val t0 = System.nanoTime()
     val cfg = IndexConfig(numSegments = 8, blockSize = 64)
+    // lifecycle mode's oracle corpus, captured where it is first collected
+    // so the union is never regenerated/re-collected a second time
+    var lifecycleUnionDocs: Seq[(String, String)] = null
     val snap = if (sys.env.contains("GRAFT_DEMO_RESUME_COMPACT")) {
       // exercise the interrupted-build -> resume -> forcemerge lifecycle
       val partial = IndexBuilder.build(spark, pages.toDF(), dir, cfg,
@@ -50,6 +53,7 @@ object Demo {
       // (url, score) parity with the exhaustive oracle over the union
       val unionDocs = (pages.collect() ++ extra.collect())
         .map(p => p.url -> p.text).toSeq
+      lifecycleUnionDocs = unionDocs
       val hits = Searcher.topK(spark, dir, "the data", 5)
       val oracle = OracleSearch.topK(unionDocs, "the data", 5, cfg.numSegments)
       val ok = hits.map(h => (h.url, h.score)).toSeq ==
@@ -69,9 +73,8 @@ object Demo {
     // unique and the pair is independent of segment layout
     val docs =
       if (sys.env.contains("GRAFT_DEMO_RESUME_COMPACT"))
-        (pages.collect() ++
-          Corpus.pages(spark, nDocs / 4, seed = 99, startId = nDocs).collect())
-          .map(p => p.url -> p.text).toSeq
+        // the lifecycle branch above already collected exactly this union
+        lifecycleUnionDocs
       else pages.select("url", "text").as[(String, String)].collect().toSeq
     queries.foreach { q =>
       val hits = Searcher.topK(spark, dir, q, 5)

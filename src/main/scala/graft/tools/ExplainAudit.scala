@@ -19,6 +19,9 @@ import graft.index.{IndexBuilder, IndexConfig}
   * Usage: runMain graft.tools.ExplainAudit [sfDir] */
 object ExplainAudit {
 
+  // temp index dirs built during the audit, reclaimed in main's finally
+  private val auditDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -50,6 +53,9 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stop Spark and reclaim audit index dirs on EVERY exit path (the
+    // decision-drift require below exits mid-run otherwise)
+    try {
 
     // 1. predicate + column pushdown on a plain scan
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -68,6 +74,7 @@ object ExplainAudit {
     // 3. index build: exactly one exchange, window reuses it, codegen spans
     val pages = Corpus.pages(spark, 1000, seed = 42).toDF()
     val dir = Files.createTempDirectory("graft-audit-idx").toString
+    auditDirs += dir // reclaimed in the main's finally
     // reconstruct the build pipeline lazily for explain (same code path as
     // build() up to the encoder)
     IndexBuilder.build(spark, pages, dir, IndexConfig(numSegments = 8, blockSize = 64))
@@ -182,6 +189,10 @@ object ExplainAudit {
     println("== notes ==")
     println("  build pipeline: repartition(P, part) -> window -> explode -> " +
       "sortWithinPartitions -> encoder; one Exchange by construction")
-    spark.stop()
+    } finally {
+      spark.stop()
+      auditDirs.foreach(d =>
+        IndexBuilder.deleteTree(java.nio.file.Paths.get(d)))
+    }
   }
 }

@@ -103,5 +103,7 @@ object LatencyProbe {
     probe("old-default-repeat", 10000, Some(cpus))
 
     spark.stop()
+    // free the RAM-backed staging (corpus + index, GBs of /dev/shm)
+    BenchHarness.deleteDir(base)
   }
 }

@@ -55,8 +55,7 @@ object ServeBench {
             }
           })
         }
-        futs.foreach(_.get())
-        pool.shutdown()
+        try futs.foreach(_.get()) finally pool.shutdown()
         threads -> (threads * perThread / ((System.nanoTime() - t0) / 1e9))
       }
       h.close()
@@ -64,7 +63,7 @@ object ServeBench {
       println(f"""{"servebench_docs":$docs,"segments":$segments,"p50_ms":${pct(50)}%.2f,"p95_ms":${pct(95)}%.2f,"p99_ms":${pct(99)}%.2f,$qpsJson}""")
     } finally {
       spark.stop()
-      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      BenchHarness.deleteDir(base)
     }
   }
 }
