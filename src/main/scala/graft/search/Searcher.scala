@@ -449,8 +449,14 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   // issues no count() job (it was metadata-cheap but still one Spark job
   // per handle); the count() fallback only covers snapshots that somehow
   // carry a termdict without the recorded count.
+  // test hook: true iff the admission gate had to fall back to a count()
+  // job (should never happen for complete v2 snapshots — the count is
+  // persisted at termdict-write time; ChunkedMarkerSpec asserts this)
+  private[graft] var usedTermdictCountFallback = false
   private val driverDict: Option[Map[String, Long]] = {
-    def termCount = if (snap.termdictRows >= 0) snap.termdictRows else termdict.count()
+    def termCount =
+      if (snap.termdictRows >= 0) snap.termdictRows
+      else { usedTermdictCountFallback = true; termdict.count() }
     if (warm && termCount <= dictLimit) {
       Some(termdict.select("term", "df").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)

@@ -186,5 +186,10 @@ class DedupSpec extends SparkSuite {
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
     } yield (ia, ib, h)).toSet
     assert(narrow === brute)
+    // the ground truth must contain at least one NEAR pair (1 <= h <= 3):
+    // with only exact dups (h=0) a banding bug that catches identical
+    // signatures alone would pass every assertion above
+    assert(brute.exists(p => p._3 >= 1 && p._3 <= 3),
+      "fixture regression: no Hamming-1..3 pair planted in the corpus")
   }
 }

@@ -99,7 +99,7 @@ class DocSuggestSpec extends SparkSuite {
 
     // tombstone a few docs that complete under 'data', then expunge
     val dead = hp.suggestDocs("data", 3).map(_._1).toSet
-    assume(dead.nonEmpty)
+    assert(dead.nonEmpty, "fixture regression: no docs complete under 'data'")
     Deletes.delete(spark, dir, dead.toSeq)
     Deletes.purge(spark, dir)
     val h2 = new IndexHandle(spark, dir, warm = false)

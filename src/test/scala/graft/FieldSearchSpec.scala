@@ -90,7 +90,7 @@ class FieldSearchSpec extends SparkSuite {
     // a token that appears ONLY in bodies (never among first-4 title toks)
     val bodyOnly = rows.flatMap(_._3.split(" ")).toSet
       .diff(rows.flatMap(_._2.split(" ")).toSet)
-    assume(bodyOnly.nonEmpty)
+    assert(bodyOnly.nonEmpty, "fixture regression: every body token also in titles")
     val tok = bodyOnly.head
     assert(Searcher.search(spark, dir,
       BoolQuery(must = BoolQuery.fieldText("body", tok)), 5).nonEmpty)
@@ -98,14 +98,26 @@ class FieldSearchSpec extends SparkSuite {
       BoolQuery(must = BoolQuery.fieldText("title", tok)), 5).isEmpty)
     // untagged terms live in a different (empty) term space here
     assert(Searcher.search(spark, dir, BoolQuery(must = Seq(tok)), 5).isEmpty)
-    // keyword is exact: an analyzed-style partial never matches
-    assert(Searcher.search(spark, dir,
+    // keyword is exact: an analyzed-style partial never matches. Use a
+    // token guaranteed to hit at least one lang='en' doc so the forall
+    // cannot pass vacuously on an empty result set
+    val enBodyTok = rows.find(_._4 == "en").get._3.split(" ")
+      .find(_.nonEmpty).get
+    val kwHits = Searcher.search(spark, dir,
       BoolQuery(filter = Seq(BoolQuery.keyword("lang", "en")),
-        should = BoolQuery.fieldText("body", tok)), 5)
-      .forall(h => docsMap.toMap.apply(h.url).get("lang").contains("en")))
-    // null keyword values are not indexed: no term for them
+        should = BoolQuery.fieldText("body", enBodyTok)), 50)
+    assert(kwHits.nonEmpty, "vacuous keyword-exactness check")
+    assert(kwHits.forall(h => docsMap.toMap.apply(h.url).get("lang").contains("en")))
+    // null keyword values are not indexed: no term for them — probe the
+    // terms a serialization regression would create ("null", ""), and an
+    // ids-scoped filter over the null cohort
     val nullUrls = rows.filter(_._4 == null).map(_._1)
-    assume(nullUrls.nonEmpty)
+    assert(nullUrls.nonEmpty, "fixture regression: no null-lang docs")
+    val h = new graft.search.IndexHandle(spark, dir, warm = false)
+    assert(h.countMatches(
+      BoolQuery(filter = Seq(BoolQuery.keyword("lang", "null")))) === 0L)
+    assert(h.countMatches(
+      BoolQuery(filter = Seq(BoolQuery.keyword("lang", "")))) === 0L)
     assert(Searcher.search(spark, dir,
       BoolQuery(ids = Some(nullUrls),
         filter = Seq(BoolQuery.keyword("lang", "en"))), 50).isEmpty)
@@ -128,7 +140,7 @@ class FieldSearchSpec extends SparkSuite {
     // field isolation carries over: a body-only token counts 0 in title
     val bodyOnly = rows.flatMap(_._3.split(" ")).toSet
       .diff(rows.flatMap(_._2.split(" ")).toSet)
-    assume(bodyOnly.nonEmpty)
+    assert(bodyOnly.nonEmpty, "fixture regression: every body token also in titles")
     val tok = bodyOnly.head
     assert(h.countMatches(
       BoolQuery(must = BoolQuery.fieldText("title", tok))) === 0L)

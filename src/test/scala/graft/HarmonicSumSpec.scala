@@ -39,7 +39,8 @@ class HarmonicSumSpec extends SparkSuite {
 
   test("order-insensitive: shuffled input gives the same result") {
     val vs = (1 to 300).map(_.toDouble / 7)
+    val shuffler = new scala.util.Random(77) // seeded: failures reproducible
     assert(HarmonicSum.exact(vs, 100, 2.0) ===
-      HarmonicSum.exact(scala.util.Random.shuffle(vs), 100, 2.0))
+      HarmonicSum.exact(shuffler.shuffle(vs), 100, 2.0))
   }
 }

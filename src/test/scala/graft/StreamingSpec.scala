@@ -79,6 +79,10 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> r._2).toMap // user -> n_sessions
 
+    // bidirectional: every batch user matches AND the stream emits no
+    // phantom keys (a spurious zero-event emission would pass a subset
+    // check and the total-events sum unchanged)
+    assert(updates.keySet === batch.keySet)
     batch.foreach { case (user, nSessions) =>
       assert(updates(user)._1 === nSessions, s"user $user")
     }

@@ -13,9 +13,12 @@ import graft.search.{Bm25, OracleSearch, PostingIterator, Searcher}
 class WandFuzzSpec extends SparkSuite {
   import spark.implicits._
 
-  private val rng = new scala.util.Random(1234)
+  // per-test seeds: a single shared Random would make each test's corpora
+  // depend on suite execution order/filtering (testOnly -z reruns would
+  // generate DIFFERENT inputs than the failing CI run — unreproducible)
 
   test("random corpora x random queries: engine == oracle (blockSize 4)") {
+    val rng = new scala.util.Random(1234)
     val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "the", "of",
       "w1x", "w2x", "w3x", "rare1", "rare2")
     (1 to 6).foreach { round =>
@@ -44,6 +47,7 @@ class WandFuzzSpec extends SparkSuite {
   }
 
   test("external floor: exact results at every boundary (incl. floor == a hit's score)") {
+    val rng = new scala.util.Random(2345)
     // floor semantics: result == (true top-k).filter(score >= floor) — a doc
     // scoring exactly the floor must SURVIVE (it can still win the global
     // docId tie-break against the segment that produced the floor)
@@ -99,6 +103,7 @@ class WandFuzzSpec extends SparkSuite {
   }
 
   test("search_after paging: stitched pages == one-shot top-k (fuzz)") {
+    val rng = new scala.util.Random(3456)
     import graft.search.{BoolQuery, IndexHandle}
     val vocab = Array("a", "b", "c", "d", "the", "of", "w1x")
     (1 to 5).foreach { round =>
@@ -148,6 +153,7 @@ class WandFuzzSpec extends SparkSuite {
   }
 
   test("search_after: exact tie run across the page boundary (docId tie-break)") {
+    val rng = new scala.util.Random(4567)
     import graft.search.{BoolQuery, IndexHandle}
     // 7 docs with IDENTICAL text => identical scores; pages of 2 repeatedly
     // cut inside the tie run — the cursor's (score ==, docId >) edge
@@ -174,6 +180,7 @@ class WandFuzzSpec extends SparkSuite {
   }
 
   test("posting cursor: random seeks agree with full decode") {
+    val rng = new scala.util.Random(5678)
     (1 to 50).foreach { it =>
       val n = 1 + rng.nextInt(300)
       val segBase = IndexBuilder.segBase(3)
