@@ -286,6 +286,26 @@ class FieldSearchSpec extends SparkSuite {
     }
   }
 
+  test("multi-field deep paging: stitched pages == one-shot, both paths") {
+    // per-field norms feed the paging cursor's score equality — a norm
+    // drift between pages would desynchronize the (score, docId) cursor
+    val dir = freshIndex()
+    val q = BoolQuery(should = BoolQuery.fieldText("title", topTitleTok) ++
+      BoolQuery.fieldText("body", topBodyTok))
+    val h = new graft.search.IndexHandle(spark, dir, warm = false)
+    val oneShot = h.search(q, 18).map(x => (x.docId, x.score)).toSeq
+    assert(oneShot.size === 18)
+    def pages(after: Option[(Double, Long)], served: Boolean) =
+      if (served) h.servedSearchAfter(q, 6, after) else h.searchAfter(q, 6, after)
+    Seq(false, true).foreach { served =>
+      val p1 = pages(None, served)
+      val p2 = pages(Some((p1.last.score, p1.last.docId)), served)
+      val p3 = pages(Some((p2.last.score, p2.last.docId)), served)
+      assert((p1 ++ p2 ++ p3).map(x => (x.docId, x.score)).toSeq === oneShot,
+        s"served=$served")
+    }
+  }
+
   test("multi-field config is validated loudly") {
     val df = rows.toDF("url", "title", "body", "lang")
     def tryBuild(c: IndexConfig): Unit = {
