@@ -208,7 +208,15 @@ object Deletes {
       .repartition(totalSegs, col("part"))
       .drop("part")
       .as[PostingRow]
-      .sortWithinPartitions("segId", "term")
+      // tombstone rows sort FIRST within each segment (then ascending
+      // term, then chunk): purgePartition builds the dead bitset before
+      // any other row arrives, so the url chunks — the corpus-scale
+      // bytes — stream through unchanged instead of being buffered
+      // whole-segment in task memory (8 GB at a 10^8-doc segment)
+      .sortWithinPartitions(col("segId"),
+        when(col("term") === lit(IndexBuilder.TermDels), lit(0))
+          .otherwise(lit(1)),
+        col("term"), col("chunk"))
       .mapPartitions(it => purgePartition(it, bs))
       .write.mode("overwrite").parquet(s"$indexDir/$rel")
 
@@ -261,22 +269,34 @@ object Deletes {
     neu
   }
 
-  /** Rewrite one segment's rows without the tombstoned docs. Input is
-    * sorted by term, so the markers (TermLens "" < TermUrls  <
-    * TermDels ) precede every real term; memory is bounded by the
-    * segment's doc-length table + one posting list. */
+  /** Rewrite one segment's rows without the tombstoned docs. Input order
+    * (the driver-side sort above): TermDels tombstone rows FIRST, then
+    * ascending term — TermLens "" < field-lens < TermUrls < real terms.
+    * Building the dead bitset before anything else lets the url chunks
+    * (the segment's dominant bytes, ~8 GB at a 10^8-doc segment) stream
+    * through unchanged and unbuffered. Task memory is bounded by the
+    * decoded doc-length int tables + one posting list's block metadata,
+    * never by the url bytes. */
   private[index] def purgePartition(
       it0: Iterator[PostingRow], blockSize: Int): Iterator[PostingRow] = {
     if (!it0.hasNext) return Iterator.empty
     val it = it0.buffered
     val segId = it.head.segId
     val segB = IndexBuilder.segBase(segId)
-    require(it.head.term == IndexBuilder.TermLens,
+    val dead = new java.util.BitSet()
+    while (it.hasNext && it.head.term == IndexBuilder.TermDels) {
+      // streamed: the consolidated row after a mass delete can cover ~all
+      // docs of the segment — fill the bitset without decoding to an array
+      IndexBuilder.docIdStream(it.next())
+        .foreach(d => dead.set((d - segB - 1).toInt))
+    }
+    val nDead = dead.cardinality()
+    require(it.hasNext && it.head.term == IndexBuilder.TermLens,
       s"purge: segment $segId missing doc-length marker")
-    // marker tables are block-chunked (format v2); equal-term input order
-    // is whatever the sort delivered, so order chunks explicitly. The url
-    // chunks pass through UNCHANGED (dead rank slots stay in the tables so
-    // surviving docIds never move — the chunking invariant survives purge).
+    // marker tables are block-chunked (format v2); the sort delivers
+    // chunks in order, but liveChunkRows' rank bases depend on it, so
+    // order the int tables defensively in-task (cheap — urls are NOT
+    // buffered, see below).
     val lensChunks = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
     while (it.hasNext && it.head.term == IndexBuilder.TermLens)
       lensChunks += it.next()
@@ -306,18 +326,16 @@ object Deletes {
     }
     require(it.hasNext && it.head.term == IndexBuilder.TermUrls,
       s"purge: segment $segId missing url marker")
-    val urlChunks = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
-    while (it.hasNext && it.head.term == IndexBuilder.TermUrls)
-      urlChunks += it.next()
-
-    val dead = new java.util.BitSet(lens.length)
-    while (it.hasNext && it.head.term == IndexBuilder.TermDels) {
-      // streamed: the consolidated row after a mass delete can cover ~all
-      // docs of the segment — fill the bitset without decoding to an array
-      IndexBuilder.docIdStream(it.next())
-        .foreach(d => dead.set((d - segB - 1).toInt))
+    // url chunks pass through UNCHANGED (dead rank slots stay in the
+    // tables so surviving docIds never move — the chunking invariant
+    // survives purge) and UNBUFFERED: they are the segment's dominant
+    // bytes, and the dead bitset is already built, so each chunk row
+    // streams from the scan straight to the writer
+    val urlRows: Iterator[PostingRow] = new Iterator[PostingRow] {
+      def hasNext: Boolean =
+        it.hasNext && it.head.term == IndexBuilder.TermUrls
+      def next(): PostingRow = it.next()
     }
-    val nDead = dead.cardinality()
 
     // re-emit each lens chunk with ITS rank range's live (df, cf) — the
     // snapshot's docs/sumDocLen are sums over chunk rows (segmentMetrics).
@@ -346,20 +364,27 @@ object Deletes {
       case (_, (sorted, byChunk)) =>
         liveChunkRows(sorted, byChunk, presentNeedsNonzero = true)
     }
-    val markers: Iterator[PostingRow] =
-      lensOut.iterator ++ fieldOut.iterator ++
-        urlChunks.sortBy(_.chunk).iterator ++ {
-        if (nDead == 0) Iterator.empty
-        else {
-          // consolidated tombstone row: dead ranks stay excluded forever
-          // (ids lookups of purged urls) and later purges stay exact
-          val deadIds = new Array[Long](nDead)
-          var j = 0
-          var b = dead.nextSetBit(0)
-          while (b >= 0) { deadIds(j) = segB + b + 1; j += 1; b = dead.nextSetBit(b + 1) }
-          Iterator(IndexBuilder.encodeDocIdSet(segId, deadIds, blockSize))
+    val tombstone: Iterator[PostingRow] =
+      if (nDead == 0) Iterator.empty
+      else {
+        // consolidated tombstone row: dead ranks stay excluded forever
+        // (ids lookups of purged urls) and later purges stay exact.
+        // Encoded straight off the bitset — no O(nDead) id array (nDead
+        // is ~the whole segment right after a mass delete)
+        val deadIdIter = new Iterator[Long] {
+          private var b = dead.nextSetBit(0)
+          def hasNext: Boolean = b >= 0
+          def next(): Long = {
+            val v = segB + b + 1; b = dead.nextSetBit(b + 1); v
+          }
         }
+        Iterator.single(
+          IndexBuilder.encodeDocIdStream(segId, deadIdIter, blockSize))
       }
+    // urlRows must drain before `terms` first pulls from `it`; iterator
+    // concatenation guarantees that left-to-right order
+    val markers: Iterator[PostingRow] =
+      lensOut.iterator ++ fieldOut.iterator ++ tombstone ++ urlRows
 
     val terms: Iterator[PostingRow] = it.flatMap { r =>
       if (nDead == 0) Iterator.single(r)

@@ -311,6 +311,9 @@ object IndexBuilder {
           s"/chunk=${p.markerChunkDocs}")
       require(p.fieldDefs == cfg.fields,
         s"resume config mismatch: snapshot fields=${p.fieldDefs}, cfg=${cfg.fields}")
+      require(p.docSuggestFields == cfg.docSuggestFields,
+        s"resume config mismatch: snapshot docSuggestFields=" +
+          s"${p.docSuggestFields}, cfg=${cfg.docSuggestFields}")
       require(p.generations == 1,
         "this index has appended generations; resume them via append()")
       if (p.isComplete) return p
@@ -727,23 +730,48 @@ object IndexBuilder {
   private[index] def liveUrlsDF(
       spark: SparkSession, absDir: String, numSegments: Int): DataFrame = {
     import spark.implicits._
+    // sort each partition (segId, tombstones-first, chunk): the dead
+    // bitset is complete before the first url chunk arrives, so the url
+    // chunks — the segment's dominant bytes — decode one at a time
+    // instead of being buffered whole-segment (the groupByKey/toSeq
+    // shape this replaces held ~8 GB in one task at a 10^8-doc segment)
     spark.read.parquet(absDir).as[PostingRow]
       .filter(col("term") === lit(TermUrls) || col("term") === lit(TermDels))
-      .groupByKey(_.segId)
-      .flatMapGroups { (segId: Int, it: Iterator[PostingRow]) =>
-        val rows = it.toSeq
-        val dead = new java.util.BitSet()
-        val segB = segBase(segId)
-        val gen = segId / numSegments
-        rows.filter(_.term == TermDels).foreach(r =>
-          docIdStream(r).foreach(d => dead.set((d - segB - 1).toInt)))
-        val urlChunks = rows.filter(_.term == TermUrls).sortBy(_.chunk)
-        var rank = 0
-        urlChunks.iterator.flatMap { c =>
-          Varint.decodeStrings(c.tfBytes).iterator.filter { _ =>
-            val live = !dead.get(rank); rank += 1; live
-          }.map(u => (u, gen))
+      .repartition(col("segId"))
+      .sortWithinPartitions(col("segId"),
+        when(col("term") === lit(TermDels), lit(0)).otherwise(lit(1)),
+        col("chunk"))
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        def oneSeg(): Iterator[(String, Int)] = {
+          val segId = it.head.segId
+          val segB = segBase(segId)
+          val gen = segId / numSegments
+          val dead = new java.util.BitSet()
+          while (it.hasNext && it.head.segId == segId &&
+              it.head.term == TermDels)
+            docIdStream(it.next()).foreach(d => dead.set((d - segB - 1).toInt))
+          var rank = 0
+          var expectChunk = 0
+          new Iterator[Iterator[(String, Int)]] {
+            def hasNext: Boolean = it.hasNext && it.head.segId == segId
+            def next(): Iterator[(String, Int)] = {
+              val c = it.next()
+              // the rank walk needs contiguous ascending chunks — refuse
+              // loudly if the sort contract is ever broken
+              require(c.chunk == expectChunk,
+                s"liveUrls: segment $segId expected url chunk $expectChunk" +
+                  s", got ${c.chunk}")
+              expectChunk += 1
+              Varint.decodeStrings(c.tfBytes).iterator.filter { _ =>
+                val live = !dead.get(rank); rank += 1; live
+              }.map(u => (u, gen))
+            }
+          }.flatten
         }
+        def all(): Iterator[(String, Int)] =
+          if (!it.hasNext) Iterator.empty else oneSeg() ++ all()
+        all()
       }
       .toDF("url", "gen")
   }

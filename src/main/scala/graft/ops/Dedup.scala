@@ -151,9 +151,12 @@ object Dedup {
 
   /** The selector's decision record — observability for the cost-based
     * plan choice: a 100x-scale operator must be able to see WHY a dedup
-    * run picked the expensive plan (ExplainAudit prints it; the run also
-    * logs it at INFO and stamps it into the Spark job description so it
-    * shows on the UI/event log next to the dedup's jobs). */
+    * run picked the expensive plan. ExplainAudit prints it and the run
+    * logs it at INFO. Note the Spark job description only labels the
+    * selector's OWN estimate job: setJobDescription is a thread-local
+    * read at action time, so the returned (lazy) DataFrame's jobs run
+    * under whatever description the CALLER's action thread has — the
+    * decision text cannot be stamped onto them from here. */
   final case class JaccardPlanDecision(
       pairs: Double, rows: Long, blowupFactor: Double, usePrefix: Boolean) {
     def budget: Double = blowupFactor * rows

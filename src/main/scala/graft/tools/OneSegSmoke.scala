@@ -69,6 +69,7 @@ object OneSegSmoke {
     val spark = BenchHarness.session("graft-onesegsmoke", 32, s"$base/spark-local")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    var ok = false
     try {
       // stage the corpus once so the build timing is clean
       val corpusDir = s"$base/corpus-$docs"
@@ -161,8 +162,14 @@ object OneSegSmoke {
         s"expected full chunking, got $urlChunks chunk rows")
 
       println(f"""{"oneseg_docs":$docs,"build_sec":$buildSec%.1f,"docs_per_sec":${docs / buildSec}%.0f,"url_chunks":$urlChunks,"max_url_cell_bytes":$maxCell,"total_url_bytes":$totalUrlBytes,"count_needle_sec":$tNeedle%.2f,"count_edge_sec":$tEdge%.2f,"count_conj_sec":$tBoth%.2f,"scan_edge_rows":${edgeRows.length},"scan_edge_sec":$tScan%.2f,"topk_sec":$tTopK%.2f,"all_closed_form_checks":"pass"}""")
-      // success cleanup only — a failed require leaves the index behind
-      BenchHarness.deleteDir(base)
-    } finally spark.stop()
+      ok = true
+    } finally {
+      // stop FIRST, delete after: base holds the session's spark-local
+      // dir, and deleting it under a live session races the shutdown
+      // cleaner (IOExceptions + re-created files leaking tmpfs).
+      // Success cleanup only — a failed require leaves the index behind.
+      spark.stop()
+      if (ok) BenchHarness.deleteDir(base)
+    }
   }
 }

@@ -33,6 +33,7 @@ object UpsertFlatProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    var ok = false
     try {
       val results = Seq(1, 2, 4, 8).map { gens =>
         val idxDir = Files.createTempDirectory(Paths.get(base), s"idx-g$gens").toString
@@ -63,7 +64,14 @@ object UpsertFlatProbe {
         f""""g$g":{"docs":$docs,"batch_secs":[${ts.map(t => f"$t%.2f").mkString(",")}],"median_sec":${BenchHarness.median(ts)}%.2f}"""
       }
       println(s"""{"upsert_flatness":{"docs_per_gen":$docsPerGen,"batch_docs":$batchDocs,${cells.mkString(",")}}}""")
-      BenchHarness.deleteDir(base)
-    } finally spark.stop()
+      ok = true
+    } finally {
+      // stop FIRST, delete after: base holds the session's spark-local
+      // dir, and deleting it under a live session races the shutdown
+      // cleaner (IOExceptions + re-created files leaking tmpfs).
+      // Success cleanup only — a failed require leaves the index behind.
+      spark.stop()
+      if (ok) BenchHarness.deleteDir(base)
+    }
   }
 }

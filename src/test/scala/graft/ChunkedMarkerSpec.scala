@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.col
 
 import graft.corpus.Corpus
@@ -189,11 +191,16 @@ class ChunkedMarkerSpec extends SparkSuite {
   }
 
   test("warm handle open issues no termdict-count job") {
-    // the distinct-term count is persisted in SnapshotMeta.termdictRows at
-    // termdict-write time, so a warm open runs exactly two jobs: the
-    // driver-dict collect and the posting-cache materialization. The old
-    // per-open termdict.count() gate was a third job; reintroducing it
-    // fails this ceiling. (Listener events are async — poll to quiescence.)
+    // differential, not a fixed ceiling: two byte-identical fresh copies
+    // of the index, one with the persisted distinct-term count stripped
+    // from its snapshot (termdictRows -> -1). The stripped copy's
+    // admission gate must FALL BACK to a termdict.count() job — exactly
+    // one job more than the warm open that reads the persisted count.
+    // Asserting warmJobs < fallbackJobs self-calibrates against
+    // AQE/listing job-count noise AND catches the regression a loose
+    // absolute ceiling lets through: a gate reverted to count() directly
+    // (without the fallback flag flipping) runs the count on BOTH sides
+    // and the strict inequality fails.
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -201,33 +208,57 @@ class ChunkedMarkerSpec extends SparkSuite {
         counter.incrementAndGet(); ()
       }
     }
-    val dir = monoDir // force the lazy build OUTSIDE the counted window
-    // quiesce lingering events from earlier tests before arming the counter
-    Thread.sleep(300)
+    def copyTree(src: String): String = {
+      val dstRoot = Files.createTempDirectory("graft-chunk-copy")
+      val s = Paths.get(src)
+      Files.walk(s).forEach { p =>
+        val t = dstRoot.resolve(s.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+      dstRoot.toString
+    }
+    // listener events are async — poll the counter to quiescence
+    def jobsDuring(open: => IndexHandle): (Int, IndexHandle) = {
+      Thread.sleep(300) // drain lingering events before arming
+      val before = counter.get()
+      val h = open
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val c = counter.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      (counter.get() - before, h)
+    }
+    val dirA = copyTree(monoDir) // fresh paths: symmetric listing costs
+    val dirB = copyTree(monoDir)
+    val snapFile = Files.list(Paths.get(dirB, "snapshots")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .maxBy(_.getFileName.toString)
+    val json = Files.readString(snapFile)
+    assert(json.matches("(?s).*\"termdictRows\"\\s*:\\s*\\d+.*"),
+      "expected a persisted termdictRows in the v2 snapshot")
+    Files.writeString(snapFile,
+      json.replaceAll("(\"termdictRows\"\\s*:\\s*)\\d+", "$1-1"))
     spark.sparkContext.addSparkListener(listener)
     try {
-      val h = new IndexHandle(spark, dir, warm = true)
+      val (warmJobs, hA) = jobsDuring(new IndexHandle(spark, dirA, warm = true))
       try {
-        var last = -1
-        var stable = 0
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (stable < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(100)
-          val c = counter.get()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-        // the precise check: the admission gate read the PERSISTED count
-        // (the fallback flag flips only when a termdict.count() job runs —
-        // stack/callsite matching can't separate it from the legitimate
-        // cache-materialization count, both fire in <init>). The job total
-        // is a loose ceiling — AQE runs each query stage as its own job
-        // and parquet listing adds more; 7 measured on Spark 4.1.2.
-        assert(!h.usedTermdictCountFallback,
+        assert(!hA.usedTermdictCountFallback,
           "warm open fell back to a termdict.count() job - the persisted " +
             "snapshot count was not used")
-        assert(counter.get() <= 9,
-          s"warm open ran ${counter.get()} jobs (measured baseline 7)")
-      } finally h.close()
+        val (fbJobs, hB) = jobsDuring(new IndexHandle(spark, dirB, warm = true))
+        try {
+          assert(hB.usedTermdictCountFallback,
+            "stripped snapshot must force the count() fallback")
+          assert(warmJobs < fbJobs,
+            s"warm open ran $warmJobs jobs vs $fbJobs on the count-less " +
+              "copy - the persisted count saved no job")
+        } finally hB.close()
+      } finally hA.close()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
