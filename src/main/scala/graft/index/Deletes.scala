@@ -300,14 +300,25 @@ object Deletes {
     val lensChunks = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
     while (it.hasNext && it.head.term == IndexBuilder.TermLens)
       lensChunks += it.next()
+    // decode chunk rows into ONE contiguous rank-indexed table + the
+    // per-chunk value counts (a chunk's slot count after a PRIOR purge is
+    // not its live df, so it must come from the decode). Only the
+    // concatenated table is retained through the long terms-rewrite phase
+    // — keeping the per-chunk arrays too would double the resident
+    // doc-length bytes (~2x 400 MB at a 10^8-doc segment).
+    def decodeChunks(sorted: Seq[PostingRow]): (Array[Int], Array[Int]) = {
+      val parts = sorted.map(r => Varint.decodeInts(r.docBytes))
+      val counts = parts.map(_.length).toArray
+      val table =
+        if (parts.lengthCompare(1) == 0) parts.head
+        else Array.concat(parts: _*)
+      (table, counts)
+    }
     val sortedLens = lensChunks.sortBy(_.chunk).toSeq
-    val lensByChunk = sortedLens.map(r => Varint.decodeInts(r.docBytes))
-    val lens =
-      if (lensByChunk.size == 1) lensByChunk.head
-      else Array.concat(lensByChunk: _*)
+    val (lens, lensCounts) = decodeChunks(sortedLens)
     // per-FIELD doc-length chunk groups (multi-field indexes) sort between
     // TermLens and TermUrls; collected per term, live df/cf re-emitted and
-    // the concatenated arrays feed the tagged-term re-encode's doclen
+    // the concatenated tables feed the tagged-term re-encode's doclen
     val fieldGroups = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[PostingRow]]
     while (it.hasNext && it.head.term.nonEmpty &&
@@ -315,15 +326,15 @@ object Deletes {
       val r = it.next()
       fieldGroups.getOrElseUpdate(r.term, scala.collection.mutable.ArrayBuffer.empty) += r
     }
-    val fieldChunks = fieldGroups.view.mapValues { rows =>
-      val sorted = rows.sortBy(_.chunk).toSeq
-      (sorted, sorted.map(r => Varint.decodeInts(r.docBytes)))
+    val fieldData: Seq[(String, Seq[PostingRow], Array[Int], Array[Int])] =
+      fieldGroups.toSeq.map { case (term, rows) =>
+        val sorted = rows.sortBy(_.chunk).toSeq
+        val (table, counts) = decodeChunks(sorted)
+        (term, sorted, table, counts)
+      }
+    val fieldLensMap: Map[String, Array[Int]] = fieldData.map {
+      case (term, _, table, _) => term.substring(1) -> table
     }.toMap
-    val fieldLensMap: Map[String, Array[Int]] = fieldChunks.map {
-      case (term, (_, byChunk)) =>
-        term.substring(1) ->
-          (if (byChunk.size == 1) byChunk.head else Array.concat(byChunk: _*))
-    }
     require(it.hasNext && it.head.term == IndexBuilder.TermUrls,
       s"purge: segment $segId missing url marker")
     // url chunks pass through UNCHANGED (dead rank slots stay in the
@@ -340,29 +351,31 @@ object Deletes {
     // re-emit each lens chunk with ITS rank range's live (df, cf) — the
     // snapshot's docs/sumDocLen are sums over chunk rows (segmentMetrics).
     // For field-lens chunks "present" means live AND nonzero (docCount_f).
-    def liveChunkRows(sorted: Seq[PostingRow], byChunk: Seq[Array[Int]],
-        presentNeedsNonzero: Boolean): Seq[PostingRow] = {
+    def liveChunkRows(sorted: Seq[PostingRow], table: Array[Int],
+        counts: Array[Int], presentNeedsNonzero: Boolean): Seq[PostingRow] = {
       var start = 0
       sorted.indices.map { ci =>
-        val vals = byChunk(ci)
+        val n = counts(ci)
         var live = 0L
         var liveSum = 0L
         var j = 0
-        while (j < vals.length) {
+        while (j < n) {
+          val v = table(start + j)
           if (!dead.get(start + j) &&
-              (!presentNeedsNonzero || vals(j) > 0)) {
-            live += 1; liveSum += vals(j)
+              (!presentNeedsNonzero || v > 0)) {
+            live += 1; liveSum += v
           }
           j += 1
         }
-        start += vals.length
+        start += n
         sorted(ci).copy(df = live, cf = liveSum)
       }
     }
-    val lensOut = liveChunkRows(sortedLens, lensByChunk, presentNeedsNonzero = false)
-    val fieldOut = fieldChunks.toSeq.sortBy(_._1).flatMap {
-      case (_, (sorted, byChunk)) =>
-        liveChunkRows(sorted, byChunk, presentNeedsNonzero = true)
+    val lensOut =
+      liveChunkRows(sortedLens, lens, lensCounts, presentNeedsNonzero = false)
+    val fieldOut = fieldData.sortBy(_._1).flatMap {
+      case (_, sorted, table, counts) =>
+        liveChunkRows(sorted, table, counts, presentNeedsNonzero = true)
     }
     val tombstone: Iterator[PostingRow] =
       if (nDead == 0) Iterator.empty
