@@ -59,6 +59,14 @@ object Bench {
     val localDir = s"$base/spark-local"
     val cfg = IndexConfig(numSegments = 256, blockSize = 128)
 
+    // machine-speed canary at the START too: a contention window can
+    // cover part of the run and end before the end-of-run sample (one
+    // observed run had every mid-run metric ~2x depressed while the
+    // final canary read the fastest of the round). The pre/post pair
+    // brackets the run; a large gap between them flags "host speed
+    // changed mid-run — treat this line as an outlier".
+    val (canPreCpu, canPreMem) = graft.tools.BenchHarness.canary()
+
     // ---- stage the corpus once (not timed)
     var spark = session(cpus, localDir)
     spark.sparkContext.setLogLevel("WARN")
@@ -220,7 +228,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val prewarmTotal = prewarm.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_efficiency_trimmed_min":${effTrimmed.head}%.3f,"scaling_efficiency_trimmed_max":${effTrimmed.last}%.3f,"scaling_outlier_pairs":$outlierPairs,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f,"canary_cpu_mops":$canCpu%.1f,"canary_membw_gbps":$canMem%.2f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_prewarm":$pw,"index_prewarm_total":$prewarmTotal%.3f,"sf":"$sfDir","index_docs_per_sec_4":$tp4%.1f,"index_docs_per_sec_16":$tp16%.1f,"index_docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_pairs_min":${effPairs.head}%.3f,"scaling_efficiency_pairs_max":${effPairs.last}%.3f,"scaling_efficiency_trimmed_min":${effTrimmed.head}%.3f,"scaling_efficiency_trimmed_max":${effTrimmed.last}%.3f,"scaling_outlier_pairs":$outlierPairs,"scaling_4_to_32":$eff432%.3f,"bench_docs":$benchDocs,"bm25_p50_ms":$p50%.1f,"bm25_p95_ms":$p95%.1f,"bm25_served_p50_ms":$sp50%.2f,"bm25_served_p95_ms":$sp95%.2f,"bm25_served_qps_8thr":$servedQps%.0f,"canary_cpu_mops":$canCpu%.1f,"canary_membw_gbps":$canMem%.2f,"canary_pre_cpu_mops":$canPreCpu%.1f,"canary_pre_membw_gbps":$canPreMem%.2f}""")
     } finally {
       spark.stop()
       // free the tmpfs space
