@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.tools.BenchHarness.timed
 import graft.index.Hashing
 import graft.ops.SimSearch
 
@@ -49,11 +50,6 @@ object AnnSmoke {
     val probes = emb.filter(col("vec_id") < nProbes).cache()
     probes.count()
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     val (brute, bruteSec) = timed {
       SimSearch.cosineTopK(emb, probes, "vec_id", "embedding", k)

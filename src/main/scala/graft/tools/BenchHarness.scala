@@ -34,6 +34,15 @@ object BenchHarness {
       .getOrCreate()
   }
 
+  /** Wall-clock a block: (result, seconds). One home for the smoke/bench
+    * tools' timing helper (a clock-source change must not need five
+    * synchronized edits). */
+  def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Stage the seeded corpus to parquet ONCE (_SUCCESS-guarded): build
     * benchmarks measure docs/sec indexed from a stored table — corpus
     * generation must never contaminate the timing. */

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions.col
 
+import graft.tools.BenchHarness.timed
 import graft.index.{IndexBuilder, IndexConfig, PostingRow, Snapshot}
 import graft.search.{Bm25, BoolQuery, IndexHandle, Searcher}
 
@@ -99,9 +100,6 @@ object OneSegSmoke {
       require(snap.sumDocLen == sumdl,
         s"sumDocLen ${snap.sumDocLen} != closed-form $sumdl")
 
-      def timed[T](f: => T): (T, Double) = {
-        val t1 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t1) / 1e9)
-      }
 
       // ---- exact counts ----
       val (cNeedle, tNeedle) = timed(

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions.col
 
+import graft.tools.BenchHarness.timed
 import graft.index.{Deletes, IndexBuilder, IndexConfig, PostingRow, Snapshot}
 import graft.search.{Bm25, BoolQuery, Searcher}
 
@@ -63,6 +64,12 @@ object PurgeSmoke {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
     val docs = args.headOption.map(_.toLong).getOrElse(1L << 23)
     require(docs % 8 == 0, "docs must be a multiple of 8 (closed-form sumdl)")
+    // closed-form identities assume rank == i: urls are zero-padded to 9
+    // digits, so beyond 1e9 docs they stop sorting numerically and the
+    // docId expectations would implicate the engine spuriously. The lower
+    // bound guarantees 10 undeleted tf=7 docs for the top-k expectation.
+    require(docs >= 10000 && docs <= 1000000000L,
+      s"docs must be in [1e4, 1e9] for the closed-form checks: $docs")
     val base = sys.env.getOrElse("GRAFT_SMOKE_TMP",
       BenchHarness.tmpfsRoot) + "/graft-purgesmoke"
     Files.createDirectories(Paths.get(base))
@@ -77,9 +84,6 @@ object PurgeSmoke {
           .toDF("url", "text").write.mode("overwrite").parquet(corpusDir)
 
       val idxDir = Files.createTempDirectory(Paths.get(base), "idx").toString
-      def timed[T](f: => T): (T, Double) = {
-        val t1 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t1) / 1e9)
-      }
       val (_, buildSec) = timed(
         IndexBuilder.build(spark, spark.read.parquet(corpusDir), idxDir,
           IndexConfig(numSegments = 1, blockSize = 128,

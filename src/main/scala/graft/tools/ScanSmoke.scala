@@ -2,6 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
+import graft.tools.BenchHarness.timed
 import graft.index.{IndexBuilder, IndexConfig}
 import graft.search.{BoolQuery, Searcher}
 
@@ -36,9 +37,6 @@ object ScanSmoke {
       // w100x/w200x are the seeded corpus's synthetic TAIL tokens (the
       // bench query set uses them for the same purpose)
       val tailConj = BoolQuery(must = Seq("w100x", "w200x"))
-      def timed[T](f: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-      }
       import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
       val (cBroad, tCount) = timed(Searcher.count(spark, idxDir, broad))
       // enumerate + aggregate executor-side: distinct segments touched and

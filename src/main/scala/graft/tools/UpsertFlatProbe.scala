@@ -29,9 +29,7 @@ object UpsertFlatProbe {
     spark.sparkContext.setLogLevel("WARN")
     val cfg = IndexConfig(numSegments = 32, blockSize = 128)
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    def timed(f: => Unit): Double = BenchHarness.timed(f)._2
 
     var ok = false
     try {
