@@ -131,6 +131,41 @@ class DocSuggestSpec extends SparkSuite {
     assert(h2.suggestDocs("dataqq", 5).nonEmpty)
   }
 
+  test("doc-suggest purge is exact when all segments share one shuffle partition") {
+    // the purge filter's live-url enumeration streams MULTIPLE segments
+    // sequentially within a shuffle partition (they are contiguous after
+    // the dels-first sort); the small-P fixtures above usually hash each
+    // segment into its own partition, so force the multi-segment shape by
+    // collapsing shuffle partitions to 1, and chunk markers tiny so the
+    // rank walk also crosses chunk seams inside every segment
+    val dir = Files.createTempDirectory("graft-ds-1part").toString
+    IndexBuilder.build(spark, rows.toDF("url", "title", "body", "lang"),
+      dir, cfg.copy(markerChunkDocs = 7))
+    val h0 = new IndexHandle(spark, dir, warm = false)
+    val victim = h0.suggestDocs("data", 5).headOption.map(_._1)
+      .getOrElse(rows.head._1)
+    IndexBuilder.upsert(spark,
+      Seq((victim, "qqfresh title now", "some body text", "en"))
+        .toDF("url", "title", "body", "lang"), dir)
+    val updated = rows.map(r =>
+      if (r._1 == victim) (victim, "qqfresh title now", "some body text", "en")
+      else r)
+    val dead = new IndexHandle(spark, dir, warm = false)
+      .suggestDocs("data", 3).map(_._1).toSet - victim
+    assert(dead.nonEmpty, "fixture regression: no deletable docs")
+    Deletes.delete(spark, dir, dead.toSeq)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try Deletes.purge(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val live = updated.filterNot(r => dead.contains(r._1))
+    val h = new IndexHandle(spark, dir, warm = false)
+    assert(h.suggestDocs("data", 200).toSeq === expected(live, "data", 200))
+    assert(h.suggestDocs("qqfresh", 10).toSeq ===
+      Seq((victim, "qqfresh title now", 1)))
+    assert(Snapshot.latest(dir).get.docSuggestDirs.size === 1)
+  }
+
   test("docSuggestFields are validated and pinned") {
     val df = rows.toDF("url", "title", "body", "lang")
     val d = Files.createTempDirectory("graft-ds-bad").toString
