@@ -1071,7 +1071,9 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           val rows = rowsBySeg.get(segId).map(_.toSeq).getOrElse(Nil)
           val segHits = BoolEval.scoreSegment(segId, rows, l, dels, c,
             blockSize, normCtx, k, floorNow, aft).toSeq
-          if (segHits.lengthCompare(k) >= 0)
+          // k <= 0 yields empty segHits and lengthCompare(0) >= 0 —
+          // guard nonEmpty or .min throws on the k=0 no-op query
+          if (segHits.nonEmpty && segHits.lengthCompare(k) >= 0)
             raiseFloor(segHits.iterator.map(_._2).min)
           segHits
       }
@@ -1124,8 +1126,13 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     * documents, mrtarget/modules/SearchObjects.py:54-77,334-347): top-k
     * (url, output, weight) for a prefix fragment, ranked by (weight desc,
     * url asc) with weight = how many inputs contain the fragment's gram.
-    * Documents re-written by upsert resolve LATEST-wins via the artifact's
-    * generation column. The probe is a pushed-down gram scan; the top-k
+    * Documents re-written by upsert resolve LATEST-wins WITHIN a shared
+    * gram via the artifact's generation column; a gram only the OLD
+    * edition contains (and tombstoned docs' grams) keeps serving the
+    * superseded row until `Deletes.purge` consolidates the artifact to
+    * live current generations — the same staleness window ES's completion
+    * suggester has between a delete and a segment merge (DocSuggestSpec
+    * pins both sides). The probe is a pushed-down gram scan; the top-k
     * cut runs distributed, so only k rows reach the driver. Memoized per
     * fragment like [[suggest]]. */
   def suggestDocs(fragment: String, k: Int): Array[(String, String, Int)] = {

@@ -168,7 +168,11 @@ object IndexStream {
     * (lineage, batchId): batch ids only mean anything within ONE
     * Structured-Streaming checkpoint lineage — a restart with a fresh or
     * cleared checkpointDir renumbers batches from 0, and skipping those
-    * against an old lineage's ids would silently drop fresh data. A
+    * against an old lineage's ids would silently drop fresh data. The
+    * lineage is therefore the checkpoint's PERSISTENT QUERY ID (the
+    * `id` in <checkpointDir>/metadata, written by start()), NOT the
+    * path string: a cleared-but-same-path checkpoint gets a fresh query
+    * id, which path equality cannot see. A
     * lineage change resets the ledger; the new lineage then re-processes
     * the source, and re-upserting already-indexed content is safe (below)
     * — EXCEPT when the old lineage died mid-append: completing that
@@ -188,6 +192,30 @@ object IndexStream {
     * way). Run purge on any schedule to converge stats. */
   private def ledgerPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "snapshots", "STREAM_LEDGER")
+
+  /** The checkpoint's persistent query id — Structured Streaming writes
+    * it to <checkpointDir>/metadata at start() and reuses it on every
+    * same-checkpoint restart, but mints a NEW id when the dir was
+    * cleared. That makes it the correct ledger lineage key: batch ids
+    * renumbered by a cleared checkpoint never match the old lineage's
+    * ledger entry. Falls back to the path string only if the metadata
+    * file is unreadable (it exists by the time any foreachBatch fires). */
+  private[graft] def checkpointLineage(
+      spark: SparkSession, checkpointDir: String): String = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) checkpointDir
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(checkpointDir)
+      }
+    } catch { case _: java.io.IOException => checkpointDir }
+  }
 
   private[graft] def lastBatchId(indexDir: String, lineage: String): Long = {
     val p = ledgerPath(indexDir)
@@ -266,12 +294,16 @@ object IndexStream {
   def refreshStream(spark: SparkSession, srcDir: String, indexDir: String,
       cfg: IndexConfig, checkpointDir: String,
       langs: Set[String] = Set.empty,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // lazy: the metadata file exists once start() has run, and the first
+    // foreachBatch invocation is the first read; memoized for the stream
+    lazy val lin = checkpointLineage(spark, checkpointDir)
     readPages(spark, srcDir, maxFilesPerTrigger,
       schema = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        refreshBatch(spark, indexDir, cfg, langs, lineage = checkpointDir)(b, id))
+        refreshBatch(spark, indexDir, cfg, langs, lineage = lin)(b, id))
       .start()
+  }
 }

@@ -99,6 +99,11 @@ class BoolQuerySpec extends SparkSuite {
       BoolQuery(must = Seq("data"), mustNot = Seq("data")), 10).isEmpty)
     assert(handle.search(BoolQuery(ids = Some(Seq("https://t.org/nope"))), 10).isEmpty)
     assert(handle.search(BoolQuery(), 10).isEmpty)
+    // k = 0: both paths must return empty, not crash (the served path's
+    // floor-raise used to call .min on the empty per-segment hit list)
+    assert(handle.search(BoolQuery(must = Seq("data")), 0).isEmpty)
+    assert(handle.servedSearch(BoolQuery(must = Seq("data")), 0).isEmpty)
+    assert(handle.servedSearchAfter(BoolQuery(must = Seq("data")), 0, None).isEmpty)
   }
 
   test("ids resolve across appended generations") {

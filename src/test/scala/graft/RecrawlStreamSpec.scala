@@ -72,6 +72,52 @@ class RecrawlStreamSpec extends SparkSuite {
     }
   }
 
+  test("cleared-but-same-path checkpoint restart still indexes fresh data") {
+    // refreshStream's ledger lineage is the checkpoint's persistent query
+    // id, NOT the path: clearing the checkpoint renumbers batches from 0,
+    // and a path-string lineage would skip them as acknowledged replays —
+    // silently dropping whatever fresh data landed in those batch ids
+    val src = Files.createTempDirectory("graft-rs-clr-src").toString
+    val ckpt = Files.createTempDirectory("graft-rs-clr-ckpt").toString
+    val idxDir = Files.createTempDirectory("graft-rs-clr-idx").toString
+    def writeChunk(pages: Seq[graft.corpus.Page], i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-rs-clr-chunk")
+      pages.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val staged = Files.copy(f, tmp.resolve(f"part-$i%03d.parquet"))
+      Files.move(staged, java.nio.file.Paths.get(src, f"part-$i%03d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def clearDir(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .filter(_ != p).forEach(Files.delete(_))
+
+    writeChunk(crawl0, 0)
+    val q1 = IndexStream.refreshStream(spark, src, idxDir, cfg, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val lin1 = IndexStream.checkpointLineage(spark, ckpt)
+    assert(lin1 !== ckpt, "lineage should be the query id, not the path")
+
+    // operator clears the checkpoint (same path) to reprocess, and fresh
+    // data arrives; the restarted stream's batch 0 covers BOTH chunks
+    clearDir(java.nio.file.Paths.get(ckpt))
+    val fresh = Corpus.pages(spark, 10, seed = 31, vocabSize = 300,
+      medianLen = 30, startId = 7000).collect().toSeq
+    writeChunk(fresh, 1)
+    val q2 = IndexStream.refreshStream(spark, src, idxDir, cfg, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(IndexStream.checkpointLineage(spark, ckpt) !== lin1,
+      "cleared checkpoint must mint a new lineage")
+    // the fresh urls are indexed (a path-lineage ledger would have
+    // skipped the renumbered batch 0 and dropped them)
+    val h = new IndexHandle(spark, idxDir, warm = false)
+    fresh.take(3).foreach { p =>
+      assert(h.search(BoolQuery(ids = Some(Seq(p.url))), 2).nonEmpty,
+        s"fresh url ${p.url} missing after cleared-checkpoint restart")
+    }
+  }
+
   test("incomplete generation + foreign lineage is refused, never mixed") {
     val idxDir = Files.createTempDirectory("graft-rs-foreign").toString
     IndexStream.refreshBatch(spark, idxDir, cfg)(crawl0.toDF(), 0L)
