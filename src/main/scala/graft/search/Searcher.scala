@@ -535,21 +535,45 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   private val segLock = new Object
   private val postingLock = new Object
 
-  private def fetchLens(segs: Seq[Int]): Map[Int, (SegLens, Seq[PostingRow])] = {
-    val hit = segLock.synchronized {
-      segs.flatMap(s => Option(segCache.get(s)).map(s -> _)).toMap
+  /** One home for the served path's LRU-fetch discipline (all three
+    * driver caches): collect hits under the lock, fetch ONLY the missing
+    * keys from Spark with NO lock held, install under the lock, return
+    * hits ++ filled. `absent` fills keys the fetch did not return;
+    * `cacheAbsent` decides whether those fills are negative-cached
+    * (terms: yes — the pinned snapshot cannot grow one later; url
+    * tables: no). Keeping the pattern in one place pins the
+    * no-lock-across-Spark-fetch rule once instead of three times. */
+  private def cachedFetch[K, V](cache: BytesLru[K, V], lock: AnyRef,
+      keys: Seq[K])(fetchMissing: Seq[K] => Map[K, V],
+      absent: Option[K => V] = None,
+      cacheAbsent: Boolean = true): Map[K, V] = {
+    val hit = lock.synchronized {
+      keys.flatMap(k => Option(cache.get(k)).map(k -> _)).toMap
     }
-    val missing = segs.filterNot(hit.contains)
+    val missing = keys.filterNot(hit.contains)
     if (missing.isEmpty) hit
     else {
+      val fetched = fetchMissing(missing)
+      val filled: Map[K, V] = absent match {
+        case Some(d) =>
+          missing.iterator.map(k => k -> fetched.getOrElse(k, d(k))).toMap
+        case None => fetched
+      }
+      val toInstall = if (cacheAbsent) filled else fetched
+      lock.synchronized(toInstall.foreach { case (k, v) => cache.put(k, v) })
+      hit ++ filled
+    }
+  }
+
+  private def fetchLens(segs: Seq[Int]): Map[Int, (SegLens, Seq[PostingRow])] =
+    cachedFetch(segCache, segLock, segs) { missing =>
       val wantedMarkers = IndexBuilder.TermLens +: IndexBuilder.TermDels +:
         fieldLensTerms
-      val fetched = postings.filter(
+      postings.filter(
           col("term").isin(wantedMarkers: _*) &&
           col("segId").isin(missing: _*))
         .collect().groupBy(_.segId)
-      val installed = missing.flatMap { s =>
-        fetched.get(s).map { rows =>
+        .map { case (s, rows) =>
           // doc-length tables are block-chunked (format v2) — concat in
           // chunk order; field tables keyed by (unprefixed) field name
           val lens = IndexBuilder.concatLens(
@@ -563,55 +587,35 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
           s -> (SegLens(lens, byField),
             rows.filter(_.term == IndexBuilder.TermDels).toSeq)
         }
-      }
-      segLock.synchronized(installed.foreach { case (s, v) => segCache.put(s, v) })
-      hit ++ installed
     }
-  }
 
   /** Test hook: current number of cached per-segment doc-length tables. */
   private[graft] def lensCacheSize: Int = segLock.synchronized(segCache.size)
 
-  private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] = {
-    val hit = postingLock.synchronized {
-      terms.flatMap(t => Option(postingCache.get(t)).map(t -> _)).toMap
-    }
-    val missing = terms.filterNot(hit.contains)
-    if (missing.isEmpty) hit
-    else {
-      val fetched = postings.filter(col("term").isin(missing: _*)).collect()
-        .groupBy(_.term)
+  private def fetchPostings(terms: Seq[String]): Map[String, Array[PostingRow]] =
+    cachedFetch(postingCache, postingLock, terms)(
+      missing =>
+        postings.filter(col("term").isin(missing: _*)).collect()
+          .groupBy(_.term),
       // absent terms cache an empty list too — the pinned snapshot cannot
       // grow one later, and refetching a hot absent term every query would
       // be a per-query Spark job
-      val installed = missing.map(t => t -> fetched.getOrElse(t, Array.empty[PostingRow]))
-      postingLock.synchronized(installed.foreach { case (t, v) => postingCache.put(t, v) })
-      hit ++ installed
-    }
-  }
+      absent = Some(_ => Array.empty[PostingRow]))
 
   /** Fetch (and memoize, LRU) the sorted url tables of `segs`. The result
     * map holds strong references, so entries evicted between calls are
-    * simply refetched — never observed half-missing. */
-  private def urlTables(segs: Seq[Int]): Map[Int, Array[String]] = {
-    val hit = urlCache.synchronized {
-      segs.distinct.flatMap(s => Option(urlCache.get(s)).map(s -> _)).toMap
-    }
-    val missing = segs.distinct.filterNot(hit.contains)
-    if (missing.isEmpty) hit
-    else {
-      val fetched = postings
-        .filter(col("term") === IndexBuilder.TermUrls &&
-          col("segId").isin(missing: _*))
-        .collect().groupBy(_.segId)
-        .map { case (s, rows) => s -> IndexBuilder.concatUrls(rows.toSeq) }
-      urlCache.synchronized {
-        fetched.foreach { case (s, u) => urlCache.put(s, u) }
-      }
-      hit ++ fetched ++
-        missing.filterNot(fetched.contains).map(_ -> Array.empty[String])
-    }
-  }
+    * simply refetched — never observed half-missing. Absent segments
+    * resolve empty but are deliberately NOT negative-cached. */
+  private def urlTables(segs: Seq[Int]): Map[Int, Array[String]] =
+    cachedFetch(urlCache, urlCache, segs.distinct)(
+      missing =>
+        postings
+          .filter(col("term") === IndexBuilder.TermUrls &&
+            col("segId").isin(missing: _*))
+          .collect().groupBy(_.segId)
+          .map { case (s, rows) => s -> IndexBuilder.concatUrls(rows.toSeq) },
+      absent = Some(_ => Array.empty[String]),
+      cacheAbsent = false)
 
   private def dictDf(terms: Seq[String]): Map[String, Long] = driverDict match {
     case Some(m) => terms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
@@ -831,35 +835,56 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     * Dataset is written straight to the tombstone dir. Segments with no
     * new match emit nothing (their prior rows stay referenced in the old
     * data dirs). */
-  private[graft] def matchTombstoneRows(q: BoolQuery): Dataset[PostingRow] = {
+  /** Shared preamble of the three match-enumeration surfaces
+    * (matchTombstoneRows / countMatches / matchesDF): compile, candidate
+    * -segment prune, marker-aware shuffled-term list, and the
+    * per-segment group split into (all rows, tombstone rows, positive
+    * term rows) handed to `body` with the compiled query and block size.
+    *
+    * The marker invariant lives HERE, once: TermLens rides along ONLY
+    * for pure-ids queries with no other anchor (it guarantees a group
+    * per candidate segment when no clause term has a posting row there);
+    * for term queries every candidate segment has a positive posting row
+    * to anchor on, and including TermLens would shuffle every candidate
+    * segment's doc-length rows — O(corpus) bytes — into sinks that never
+    * read lengths. A surface that ships its own always-present marker
+    * (matchesDF's TermUrls) passes it as `extraMarker` and anchors on
+    * that instead. The candidate prune keeps non-matching segments' url
+    * tables and (post-mass-delete, corpus-sized) tombstone rows from
+    * moving at all. Returns None when the query cannot match. */
+  private def enumeratePerSegment[T](q: BoolQuery, extraMarker: Option[String])(
+      body: (CompiledQuery, Int, Int, Seq[PostingRow], Seq[PostingRow],
+        Seq[PostingRow]) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Option[Dataset[T]] = {
     import spark.implicits._
     val c = compile(q) match {
-      case None => return spark.emptyDataset[PostingRow]
+      case None => return None
       case Some(x) => x
     }
-    val bs = blockSize
     val cand = candidateSegs(c)
-    if (cand.isEmpty) return spark.emptyDataset[PostingRow]
-    // TermLens rides along ONLY for ids queries (it anchors a group per
-    // candidate segment when no clause term has a posting row there —
-    // pure-ids deletes); for term queries every candidate segment has a
-    // positive posting row to anchor on, and including TermLens would
-    // shuffle every candidate segment's doc-length rows — O(corpus)
-    // bytes — into a sink that never reads lengths. The candidate prune
-    // keeps non-matching segments' (post-mass-delete, corpus-sized)
-    // tombstone rows from moving at all, same as countMatches/matchesDF.
-    val wanted: Seq[String] =
-      if (c.hasIds)
-        IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
-      else IndexBuilder.TermDels +: c.allTerms.toSeq
+    if (cand.isEmpty) return None
+    val wanted: Seq[String] = extraMarker.toSeq ++
+      (if (c.hasIds && extraMarker.isEmpty) Seq(IndexBuilder.TermLens)
+       else Nil) ++
+      (IndexBuilder.TermDels +: c.allTerms.toSeq)
+    val bs = blockSize
     val filtered = postings.filter(col("term").isin(wanted: _*) &&
       col("segId").isin(cand: _*))
-    filtered.groupByKey(_.segId).flatMapGroups {
+    Some(filtered.groupByKey(_.segId).flatMapGroups {
       (segId: Int, it: Iterator[PostingRow]) =>
         val rows = it.toSeq
         val dels = rows.filter(_.term == IndexBuilder.TermDels)
         val terms = rows.filter(r =>
-          r.term != IndexBuilder.TermDels && r.term != IndexBuilder.TermLens)
+          r.term != IndexBuilder.TermDels && r.term != IndexBuilder.TermLens &&
+          r.term != IndexBuilder.TermUrls)
+        body(c, segId, bs, rows, dels, terms)
+    })
+  }
+
+  private[graft] def matchTombstoneRows(q: BoolQuery): Dataset[PostingRow] = {
+    import spark.implicits._
+    enumeratePerSegment[PostingRow](q, extraMarker = None) {
+      (c, segId, bs, _, dels, terms) =>
         val matches = MatchEnum.enumerate(segId, terms, dels, c, bs).buffered
         if (!matches.hasNext) Iterator.empty
         else {
@@ -872,7 +897,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
             matches +: dels.map(IndexBuilder.docIdStream))
           Iterator.single(IndexBuilder.encodeDocIdStream(segId, merged, bs))
         }
-    }
+    }.getOrElse(spark.emptyDataset[PostingRow])
   }
 
   /** Segments that can possibly hold a match for `c`: those with at least
@@ -902,34 +927,16 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     * to the driver. */
   def countMatches(q: BoolQuery): Long = {
     import spark.implicits._
-    val c = compile(q) match {
-      case None => return 0L
-      case Some(x) => x
-    }
-    val bs = blockSize
-    val cand = candidateSegs(c)
-    if (cand.isEmpty) return 0L
-    // TermLens rides along ONLY for ids queries (it guarantees a group per
-    // candidate segment when no clause term has a posting row there);
-    // for term queries it would shuffle every segment's doc-length row —
-    // O(corpus) bytes — into a count that never reads lengths
-    val wanted: Seq[String] =
-      if (c.hasIds)
-        IndexBuilder.TermLens +: IndexBuilder.TermDels +: c.allTerms.toSeq
-      else IndexBuilder.TermDels +: c.allTerms.toSeq
-    val filtered = postings.filter(col("term").isin(wanted: _*) &&
-      col("segId").isin(cand: _*))
-    filtered.groupByKey(_.segId)
-      .mapGroups { (segId: Int, it: Iterator[PostingRow]) =>
-        val rows = it.toSeq
-        val dels = rows.filter(_.term == IndexBuilder.TermDels)
-        val terms = rows.filter(r =>
-          r.term != IndexBuilder.TermDels && r.term != IndexBuilder.TermLens)
+    enumeratePerSegment[Long](q, extraMarker = None) {
+      (c, segId, bs, _, dels, terms) =>
         var n = 0L
         MatchEnum.enumerate(segId, terms, dels, c, bs).foreach(_ => n += 1)
-        n
-      }
-      .select(coalesce(sum(col("value")), lit(0L))).as[Long].head()
+        Iterator.single(n)
+    } match {
+      case None => 0L
+      case Some(counts) =>
+        counts.select(coalesce(sum(col("value")), lit(0L))).as[Long].head()
+    }
   }
 
   /** ES scan-with-query (`Search().query(q).scan()` + scroll paging — the
@@ -945,32 +952,15 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     * writable — what the reference's scroll loops feed downstream. */
   def matchesDF(q: BoolQuery): DataFrame = {
     import spark.implicits._
-    val c = compile(q) match {
-      case None => return spark.emptyDataset[(Long, String, Int)]
-        .toDF("docId", "url", "segId")
-      case Some(x) => x
-    }
-    val bs = blockSize
-    val cand = candidateSegs(c)
-    if (cand.isEmpty)
-      return spark.emptyDataset[(Long, String, Int)].toDF("docId", "url", "segId")
     // TermUrls feeds the url walk AND anchors the group — every committed
-    // segment carries one (even empty segments), so no TermLens is needed;
-    // including it would shuffle every candidate segment's doc-length row
-    // into an enumeration that never reads lengths
-    val wanted: Seq[String] = IndexBuilder.TermUrls +:
-      IndexBuilder.TermDels +: c.allTerms.toSeq
-    val filtered = postings.filter(col("term").isin(wanted: _*) &&
-      col("segId").isin(cand: _*))
+    // segment carries one (even empty segments), so no TermLens rides
+    // along even for ids queries (enumeratePerSegment's anchor rule)
     val chunkDocs = snap.markerChunkDocs
-    filtered.groupByKey(_.segId).flatMapGroups {
-      (segId: Int, it: Iterator[PostingRow]) =>
-        val rows = it.toSeq
+    enumeratePerSegment[(Long, String, Int)](q,
+        extraMarker = Some(IndexBuilder.TermUrls)) {
+      (c, segId, bs, rows, dels, terms) =>
         val urlChunks = rows.filter(_.term == IndexBuilder.TermUrls)
           .sortBy(_.chunk).toArray
-        val dels = rows.filter(_.term == IndexBuilder.TermDels)
-        val terms = rows.filter(r => r.term != IndexBuilder.TermDels &&
-          r.term != IndexBuilder.TermLens && r.term != IndexBuilder.TermUrls)
         if (urlChunks.isEmpty) Iterator.empty
         else {
           val segB = IndexBuilder.segBase(segId)
@@ -1003,7 +993,8 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
             (d, url, segId)
           }
         }
-    }.toDF("docId", "url", "segId")
+    }.map(_.toDF("docId", "url", "segId")).getOrElse(
+      spark.emptyDataset[(Long, String, Int)].toDF("docId", "url", "segId"))
   }
 
   /** Hot-serving bool-query top-k: rank-identical to `search`, evaluated on
@@ -1103,21 +1094,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     // differently (tr_TR dotless-i) and miss grams the artifact holds
     val key = fragment.toLowerCase(java.util.Locale.ROOT)
     if (key.length < 4 || key.length > 10) return Array.empty
-    def fetch(n: Int): Array[(String, Long)] =
-      spark.read.parquet(s"$indexDir/${snap.suggestDir.get}")
-        .filter(col("gram") === key)
-        .orderBy(col("cf").desc, col("term").asc)
-        .limit(n)
-        .select("term", "cf").collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-    if (k > suggestFetch) return fetch(k) // oversize asks bypass the memo
-    val cached = suggestCacheLock.synchronized(Option(suggestCache.get(key)))
-    val all = cached.getOrElse {
-      val rows = fetch(suggestFetch)
-      suggestCacheLock.synchronized(suggestCache.put(key, rows))
-      rows
-    }
-    all.take(k)
+    suggestMemo(key, k)
   }
 
   /** DOC-level autocomplete over the snapshot's doc-suggest artifact
@@ -1141,52 +1118,60 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         "IndexConfig(docSuggestFields = ...)")
     val key = fragment.toLowerCase(java.util.Locale.ROOT)
     if (key.length < 4 || key.length > 10) return Array.empty
-    def fetch(n: Int): Array[(String, String, Int)] = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("url")).orderBy(col("gen").desc)
-      spark.read
-        .parquet(snap.docSuggestDirs.map(d => s"$indexDir/$d"): _*)
-        .filter(col("gram") === key)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1) // upserted docs: newest generation wins
-        .orderBy(col("weight").desc, col("url").asc)
-        .limit(n)
-        .select("url", "output", "weight").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
-    }
-    if (k > suggestFetch) return fetch(k)
-    val cached = suggestDocsCacheLock.synchronized(Option(suggestDocsCache.get(key)))
-    val all = cached.getOrElse {
-      val rows = fetch(suggestFetch)
-      suggestDocsCacheLock.synchronized(suggestDocsCache.put(key, rows))
-      rows
-    }
-    all.take(k)
+    suggestDocsMemo(key, k)
   }
 
-  // lazy: suggestCacheCap is declared further down the class body, and a
-  // strict val here would read it as 0 during construction (the cache
-  // would silently evict everything)
-  private lazy val suggestDocsCache =
-    new java.util.LinkedHashMap[String, Array[(String, String, Int)]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[(String, String, Int)]]): Boolean =
-        size() > suggestCacheCap
+  /** Per-fragment suggest memo (both autocomplete surfaces): caches the
+    * top-`fetchN` rows per gram in an access-order LRU capped at `cap`
+    * entries, so a long-lived serving handle holds O(cap x fetchN) rows,
+    * never the artifact; oversize asks bypass the memo. One class for
+    * both surfaces — the lazy-initialization-order trap the two
+    * hand-rolled copies had (a strict val reading the cap as 0 during
+    * construction) cannot recur. */
+  private final class SuggestMemo[V](cap: Int, fetchN: Int,
+      fetch: (String, Int) => Array[V]) {
+    private val cache =
+      new java.util.LinkedHashMap[String, Array[V]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[V]]): Boolean = size() > cap
+      }
+    def apply(key: String, k: Int): Array[V] = {
+      if (k > fetchN) return fetch(key, k) // oversize asks bypass the memo
+      val cached = cache.synchronized(Option(cache.get(key)))
+      val all = cached.getOrElse {
+        val rows = fetch(key, fetchN)
+        cache.synchronized(cache.put(key, rows))
+        rows
+      }
+      all.take(k)
     }
-  private val suggestDocsCacheLock = new Object
+  }
 
-  // per-fragment suggest memo: top-`suggestFetch` rows per gram, LRU-capped
-  // so a long-lived serving handle holds O(cap * fetch) strings, never the
-  // artifact
   private val suggestFetch = 100
   private val suggestCacheCap = 10000
-  private val suggestCache =
-    new java.util.LinkedHashMap[String, Array[(String, Long)]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[(String, Long)]]): Boolean =
-        size() > suggestCacheCap
-    }
-  private val suggestCacheLock = new Object
+  private val suggestMemo =
+    new SuggestMemo[(String, Long)](suggestCacheCap, suggestFetch, (key, n) =>
+      spark.read.parquet(s"$indexDir/${snap.suggestDir.get}")
+        .filter(col("gram") === key)
+        .orderBy(col("cf").desc, col("term").asc)
+        .limit(n)
+        .select("term", "cf").collect()
+        .map(r => (r.getString(0), r.getLong(1))))
+  private val suggestDocsMemo =
+    new SuggestMemo[(String, String, Int)](suggestCacheCap, suggestFetch,
+      (key, n) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("url")).orderBy(col("gen").desc)
+        spark.read
+          .parquet(snap.docSuggestDirs.map(d => s"$indexDir/$d"): _*)
+          .filter(col("gram") === key)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1) // upserted docs: newest generation wins
+          .orderBy(col("weight").desc, col("url").asc)
+          .limit(n)
+          .select("url", "output", "weight").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      })
 
   def close(): Unit = if (warm) postings.unpersist()
 }
