@@ -212,20 +212,16 @@ object IndexBuilder {
     transform_keys(tfmap, (k, _) =>
       when(k < lit("\u0004"), concat(lit("\u0003"), k)).otherwise(k))
 
-  /** Tagged analyzed tf map over the index's fields; the classic
-    * single-field contract when `fields` is empty. Field tags start with a
-    * validated non-control char, so tagged keys need no safeTerm escape. */
-  private def analyzedTfMap(fields: Seq[FieldDef]): org.apache.spark.sql.Column =
-    if (fields.isEmpty)
-      safeTermCol(graft.plans.GraftFunctions.term_freqs(col("text")))
-    else {
-      val maps = fields.filterNot(_.keyword).map { f =>
-        transform_keys(
-          graft.plans.GraftFunctions.term_freqs(coalesce(col(f.name), lit(""))),
-          (k, _) => concat(lit(f.name + FieldSep), k))
-      }
-      if (maps.size == 1) maps.head else map_concat(maps: _*)
-    }
+  /** Analyzed tf map of the classic single-`text`-column contract (the
+    * multi-field path tags its per-field maps inline in buildSegments,
+    * where the raw maps also feed the per-field doc lengths). null text
+    * coalesces to empty text: term_freqs is null-intolerant, and a null
+    * map would null the whole map_concat, so explode would erase the
+    * doc's marker entries AFTER row_number assigned its rank — every
+    * later doc in the segment would resolve the wrong url. */
+  private def analyzedTfMap(): org.apache.spark.sql.Column =
+    safeTermCol(graft.plans.GraftFunctions.term_freqs(
+      coalesce(col("text"), lit(""))))
 
   /** [[analyzedTfMap]] (as column "tfa") plus the keyword fields' single
     * unanalyzed entries: tf = 1, null values not indexed (ES keyword
@@ -343,6 +339,19 @@ object IndexBuilder {
     val prior = Snapshot.latest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot under $indexDir"))
     val P = prior.numSegments
+    if (newPages.isEmpty) {
+      // an empty batch must not commit a permanent all-empty generation:
+      // generations increment forever, and every future id lookup /
+      // candidate-segment scan would pay P extra segments per no-op call
+      // (the streaming path guards this itself; the public API must too)
+      val topGen0 = prior.generations - 1
+      val topDone0 = (topGen0 * P until (topGen0 + 1) * P)
+        .forall(prior.completedSegIds.contains)
+      require(!(resume && !topDone0),
+        "cannot resume an incomplete generation from an empty batch — " +
+          "re-supply the original batch or IndexBuilder.rollback")
+      return prior
+    }
     // fields are a pinned index property — re-derive from the snapshot so
     // appended generations tokenize identically to the original build
     val cfg = IndexConfig(P, prior.blockSize, fields = prior.fieldDefs,
@@ -492,7 +501,7 @@ object IndexBuilder {
     // similarity contract (each field scores with its own dl/avgdl).
     val base =
       if (cfg.fields.isEmpty)
-        base0.withColumn("tfa", analyzedTfMap(cfg.fields))
+        base0.withColumn("tfa", analyzedTfMap())
           .withColumn("doclen",
             aggregate(map_values(col("tfa")), lit(0), (acc, x) => acc + x))
           .withColumn("tfmap", fullTfMap(cfg.fields))
@@ -600,7 +609,7 @@ object IndexBuilder {
     // on every commit would make a long-lived streaming index's commit
     // cost O(total snapshots).
     val wantSuggest = cfg.suggest ||
-      prior.exists(_.suggestDir.isDefined) ||
+      prior.exists(p => p.suggestDir.isDefined || p.suggestWanted) ||
       (prior.exists(!_.isComplete) &&
         Snapshot.list(indexDir).exists(_.suggestDir.isDefined))
     val suggestRel =
@@ -645,6 +654,9 @@ object IndexBuilder {
       // TermDels rows ride along in dataDirs) — the counter must too
       deletedDocs = prior.map(_.deletedDocs).getOrElse(0L),
       suggestDir = suggestRel, suggestRows = suggestRows,
+      // persist the REQUEST too: a partial commit carries suggestDir =
+      // None, and a resume must not lose the original build's intent
+      suggestWanted = wantSuggest,
       fields = serializeFields(cfg.fields),
       markerChunkDocs = chunkDocs, termdictRows = termdictRows,
       fieldStats = fstats,
@@ -1078,14 +1090,10 @@ object IndexBuilder {
     else Array.concat(sorted.map(r => Varint.decodeStrings(r.tfBytes)): _*)
   }
 
-  /** Encode a sorted docId set as a TermDels tombstone row (tf/doclen are
-    * 1-filled — tombstones are exclusion cursors, never scored). */
-  private[graft] def encodeDocIdSet(
-      segId: Int, sortedIds: Array[Long], blockSize: Int): PostingRow =
-    encodeDocIdStream(segId, sortedIds.iterator, blockSize)
-
-  /** Streaming form for corpus-sized tombstone sets (delete-by-query's
-    * per-segment sink): memory stays O(block metadata), never O(matches). */
+  /** Encode a sorted docId stream as a TermDels tombstone row (tf/doclen
+    * are 1-filled — tombstones are exclusion cursors, never scored).
+    * Deliberately stream-only: corpus-sized id sets must never
+    * materialize an Array in-task; memory stays O(block metadata). */
   private[graft] def encodeDocIdStream(
       segId: Int, sortedIds: Iterator[Long], blockSize: Int): PostingRow =
     encodeRun(segId, TermDels, sortedIds.map(d => (d, 1, 1)), blockSize)

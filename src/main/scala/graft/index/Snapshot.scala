@@ -57,6 +57,14 @@ case class SnapshotMeta(
     // snapshot files deserialize cleanly.
     suggestDir: Option[String] = None,
     suggestRows: Long = 0L,
+    // the suggest REQUEST, persisted on every commit (incl. partials,
+    // which carry suggestDir = None): a build(suggest = true) that
+    // crashes before its first complete commit leaves intent nowhere
+    // else, and a resume with a cfg omitting suggest would otherwise
+    // silently drop the artifact the original build asked for. Primitive
+    // Boolean — pre-flag snapshot files deserialize as false and the
+    // suggestDir-based stickiness still covers them.
+    suggestWanted: Boolean = false,
     // multi-field schema ("t:name" analyzed / "k:name" keyword), pinned at
     // build time like numSegments — appends re-derive tokenization from
     // it. Empty/null (pre-fields snapshot files) = the classic

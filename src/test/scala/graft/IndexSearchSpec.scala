@@ -390,4 +390,67 @@ class IndexSearchSpec extends SparkSuite {
       assert(s.postings >= s.terms, s"seg ${s.segId}")
     }
   }
+
+  test("null-text pages index as empty docs; ranks and urls stay aligned") {
+    // term_freqs is null-intolerant: without the build-side coalesce a
+    // null text would null the doc's whole tf/marker map, explode would
+    // emit zero rows for it AFTER row_number assigned its rank, and every
+    // later doc in the segment would resolve the wrong url
+    val dir = Files.createTempDirectory("graft-nulltext").toString
+    val rows = Seq(
+      ("https://n.org/a", "alpha beta gamma"),
+      ("https://n.org/b", null.asInstanceOf[String]),
+      ("https://n.org/c", "alpha delta"),
+      ("https://n.org/d", "beta gamma"))
+    IndexBuilder.build(spark, rows.toDF("url", "text"), dir,
+      IndexConfig(numSegments = 1, blockSize = 16))
+    val snap = Snapshot.latest(dir).get
+    assert(snap.numDocs === 4) // the null-text doc exists, doclen 0
+    val h = new graft.search.IndexHandle(spark, dir, warm = false)
+    rows.foreach { case (u, _) =>
+      val hits = h.search(graft.search.BoolQuery(ids = Some(Seq(u))), 2)
+      assert(hits.map(_.url).toSeq === Seq(u), s"url misaligned: $u")
+    }
+    assert(Searcher.topK(spark, dir, "alpha", 5).map(_.url).toSet ===
+      Set("https://n.org/a", "https://n.org/c"))
+  }
+
+  test("empty batches: append and upsert no-op, never an empty generation") {
+    val dir = Files.createTempDirectory("graft-emptybatch").toString
+    IndexBuilder.build(spark, pages.limit(30).toDF(), dir,
+      IndexConfig(numSegments = 2, blockSize = 16))
+    val before = Snapshot.latest(dir).get
+    val empty = pages.toDF().select("url", "text").limit(0)
+    assert(IndexBuilder.append(spark, empty, dir).id === before.id)
+    assert(IndexBuilder.upsert(spark, empty, dir).id === before.id)
+    val after = Snapshot.latest(dir).get
+    assert(after.generations === before.generations && after.id === before.id)
+    // resuming an INCOMPLETE generation from an empty batch is refused
+    // loudly (completing it with empty segments would lose the batch)
+    val extra = Corpus.pages(spark, 20, seed = 77, vocabSize = 200,
+      medianLen = 20, startId = 5000).toDF().select("url", "text")
+    IndexBuilder.append(spark, extra, dir,
+      simulateOnlySegments = Some(Set(2)))
+    assert(!Snapshot.latest(dir).get.isComplete)
+    val e = intercept[IllegalArgumentException](
+      IndexBuilder.append(spark, empty, dir, resume = true))
+    assert(e.getMessage.contains("empty batch"))
+  }
+
+  test("suggest request survives a crash before the first complete commit") {
+    // the sticky chain walk can only see suggestDir on COMPLETE commits;
+    // a first build that crashes partial must persist the REQUEST so a
+    // resume with a cfg omitting suggest still builds the artifact
+    val dir = Files.createTempDirectory("graft-suggest-crash").toString
+    val corpus = pages.limit(40).toDF().select("url", "text")
+    IndexBuilder.build(spark, corpus, dir,
+      IndexConfig(numSegments = 4, blockSize = 16, suggest = true),
+      simulateOnlySegments = Some(Set(0, 1)))
+    val partial = Snapshot.latest(dir).get
+    assert(!partial.isComplete && partial.suggestDir.isEmpty)
+    assert(partial.suggestWanted)
+    val done = IndexBuilder.build(spark, corpus, dir,
+      IndexConfig(numSegments = 4, blockSize = 16), resume = true)
+    assert(done.isComplete && done.suggestDir.isDefined && done.suggestRows > 0L)
+  }
 }
