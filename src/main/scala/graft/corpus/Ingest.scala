@@ -82,6 +82,20 @@ object Ingest {
   def prepareBatch(raw: DataFrame): DataFrame =
     extractValidate(latestPerUrl(raw))._1.select("url", "text")
 
+  /** Lang-scope + [[prepareBatch]] + persist — the shared front half of
+    * BOTH ingest paths (this batch refreshIndex and the streaming
+    * `IndexStream.refreshBatch`), kept in one place so scoping and
+    * persist semantics cannot drift between them. Persisted because the
+    * extract UDF + latest-per-url window otherwise re-execute for the
+    * isEmpty probe, upsert's tombstone-match join AND the append scan —
+    * 3x the ingest cost per call. The caller must unpersist. */
+  def prepareScoped(rawCrawl: DataFrame, langs: Set[String]): DataFrame = {
+    val scoped =
+      if (langs.isEmpty) rawCrawl
+      else rawCrawl.filter(col("lang").isin(langs.toSeq: _*))
+    prepareBatch(scoped).persist()
+  }
+
   /** Ingest a crawl batch into `indexDir`: keep `langs` (empty set = all),
     * latest-edition-per-url, enforce the extraction invariant, then upsert
     * (see [[prepareBatch]] for why in that order). Returns the committed
@@ -92,13 +106,7 @@ object Ingest {
       rawCrawl: DataFrame,
       indexDir: String,
       langs: Set[String] = Set.empty): SnapshotMeta = {
-    val scoped =
-      if (langs.isEmpty) rawCrawl
-      else rawCrawl.filter(col("lang").isin(langs.toSeq: _*))
-    // persisted: the extract UDF + latest-per-url window otherwise
-    // re-execute for the isEmpty probe, upsert's tombstone-match join and
-    // the append scan — 3x the ingest cost per refresh
-    val batch = prepareBatch(scoped).persist()
+    val batch = prepareScoped(rawCrawl, langs)
     try {
       // a batch emptied by scoping/validation must not commit a generation
       // of empty segments plus a full termdict rebuild

@@ -18,10 +18,17 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
-  /** Distinct word n-gram shingles of an already-space-tokenized text. */
+  /** Distinct word n-gram shingles of an already-space-tokenized text.
+    * Empty/whitespace-only text yields the EMPTY set — "".split(" ")
+    * returns Array("") and the short-doc branch would turn that into a
+    * singleton "" shingle shared by every empty document, making all
+    * C(m,2) empty-doc pairs jaccard-1.0 "duplicates" (a quadratic
+    * blowup the prefix plan cannot prune: sz=1 puts "" in every
+    * prefix). An empty set produces no join key and no pairs. */
   def shingles(text: String, n: Int): Array[String] = {
-    val toks = text.split(" ")
-    if (toks.length < n) Array(toks.mkString(" "))
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty
+    else if (toks.length < n) Array(toks.mkString(" "))
     else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
       .distinct.toArray
   }

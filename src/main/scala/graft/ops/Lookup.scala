@@ -55,7 +55,12 @@ object Lookup {
       // would pin one cached aggregation until the session dies. The cost
       // is one recompute of the dim aggregation at join time; dims are
       // lookup-table-sized, so that second pass is cheap.
-      val dup = counted.filter(col("n_hits") > 1).select(col(dimKey)).limit(1)
+      // null dim keys can never match a fact row (SQL null equality), so
+      // several incomplete dim rows sharing the null key are NOT an
+      // ambiguity — without the isNotNull the probe would fail the whole
+      // job over rows that cannot fan anything out
+      val dup = counted.filter(col("n_hits") > 1 && col(dimKey).isNotNull)
+        .select(col(dimKey)).limit(1)
         .collect()
       if (dup.nonEmpty)
         throw new IllegalStateException(

@@ -100,11 +100,7 @@ object Multimodal {
     * would null-out or collide ids (same guard as SimSearch). */
   def fromText(docs: DataFrame, idCol: String, textCol: String,
       kind: String = "text/plain"): DataFrame = {
-    val dt = docs.schema(idCol).dataType
-    require(dt == org.apache.spark.sql.types.LongType ||
-      dt == org.apache.spark.sql.types.IntegerType,
-      s"fromText: id column '$idCol' is $dt - must be integral (a silent " +
-        "cast would null non-numeric ids)")
+    SimSearch.requireIntegralId(docs, idCol, "fromText")
     docs.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("media"))
   }

@@ -170,10 +170,12 @@ object Ontology {
   /** [[ancestorChain]] with a [[PinnedResult]] release handle. */
   def ancestorChainManaged(edges: DataFrame, maxRounds: Int = 20): PinnedResult = {
     // a doubly-ASSERTED subClassOf is one parent, not two (RDF sources
-    // routinely repeat triples) — dedup before the forest check, and feed
-    // the deduped edges to the closure so repeated rows cannot double
-    // its path accounting either
-    val e = edges.distinct()
+    // routinely repeat triples) — dedup on the EDGE KEY before the forest
+    // check (a full-row distinct would keep a repeated (id,parent) edge
+    // alive under differing provenance columns and fail the check
+    // spuriously), and feed the deduped edges to the closure so repeated
+    // rows cannot double its path accounting either
+    val e = edges.select("id", "parent").distinct()
     val dup = e.groupBy(col("id")).count()
       .filter(col("count") > 1).select(col("id")).limit(1).collect()
     require(dup.isEmpty,

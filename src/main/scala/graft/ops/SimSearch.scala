@@ -28,7 +28,15 @@ object SimSearch {
       .select("probe_id", "nbr_id", "rnk", "cos")
   }
 
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+  /** null-embedding drop, shared by every similarity entry point: a null
+    * vector can neither match nor be matched, and letting one through
+    * kills the whole job with an unroutable NPE deep inside a task (the
+    * same null-tolerance convention as Dedup's null text -> empty
+    * shingle set — one corrupt row must not abort the corpus). */
+  private def nonNullVecs(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types._
     require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
       .contains(df.schema(idCol).dataType),
@@ -69,9 +77,9 @@ object SimSearch {
     * are reproducible across engines and summation orders. */
   def cosineTopK(emb: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val e = emb.select(col(idCol).as("nbr_id"),
+    val e = nonNullVecs(emb, vecCol).select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val p = probes.select(col(idCol).as("probe_id"),
+    val p = nonNullVecs(probes, vecCol).select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     topKByCos(e.crossJoin(broadcast(p))
       .filter(col("nbr_id") =!= col("probe_id"))
@@ -119,7 +127,8 @@ object SimSearch {
     // by at most 5e-7, so prune/prefilter against threshold - 1e-6
     val tEff = threshold - 1e-6
 
-    val blocked = emb.select(col(idCol).cast("long").as("id"),
+    val blocked = nonNullVecs(emb, vecCol)
+      .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("blk", pmod(hash(col("id")), lit(K)))
       .select(col("id"), col("v"), col("blk"),
@@ -245,8 +254,9 @@ object SimSearch {
     // the probe side casts too: a string probe id would null out, turn the
     // nbr_id =!= probe_id filter null, and return 0 rows with no error
     requireIntegralId(probes, idCol, "ivfTopK probes")
-    val e = emb.select(col(idCol).cast("long").as("nbr_id"),
-      col(vecCol).cast("array<double>").as("v"))
+    val e = nonNullVecs(emb, vecCol)
+      .select(col(idCol).cast("long").as("nbr_id"),
+        col(vecCol).cast("array<double>").as("v"))
     val rankUdf = udf { (id: Long) =>
       graft.index.Hashing.md5Hash64("ivf:" + id)
     }
@@ -304,7 +314,8 @@ object SimSearch {
     val probeCellsUdf = udf { (v: Array[Double]) => nearestCells(v, nprobe) }
 
     val assigned = e.withColumn("cell", assignUdf(col("v")))
-    val p = probes.select(col(idCol).cast("long").as("probe_id"),
+    val p = nonNullVecs(probes, vecCol)
+      .select(col(idCol).cast("long").as("probe_id"),
         col(vecCol).cast("array<double>").as("pv"))
       .withColumn("cell", explode(probeCellsUdf(col("pv"))))
     topKByCos(assigned.join(p, Seq("cell"))
@@ -317,9 +328,10 @@ object SimSearch {
     * probe's bucket in any of `tables` independent hash tables. */
   def annTopK(emb: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    val probe = emb.select(size(col(vecCol))).limit(1).collect()
-    require(probe.nonEmpty && !probe(0).isNullAt(0),
-      "annTopK: embedding table is empty (or its first vector is null) - " +
+    val probe = nonNullVecs(emb, vecCol)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty,
+      "annTopK: embedding table has no non-null vectors - " +
         "cannot derive the hyperplane dimensionality")
     val dim = probe(0).getInt(0)
     val planeVecs: Array[Array[Array[Double]]] = Array.tabulate(tables, planes) {
@@ -348,9 +360,9 @@ object SimSearch {
         .withColumn("bucket", bucketUdf(col("_bv"), col("tbl")))
         .drop("_bv")
 
-    val eVecs = emb.select(col(idCol).as("nbr_id"),
+    val eVecs = nonNullVecs(emb, vecCol).select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val pVecs = probes.select(col(idCol).as("probe_id"),
+    val pVecs = nonNullVecs(probes, vecCol).select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val e = bucketed(eVecs, "nbr_id", "v")
     val p = bucketed(pVecs, "probe_id", "pv")

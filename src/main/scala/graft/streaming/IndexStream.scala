@@ -247,14 +247,8 @@ object IndexStream {
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     if (batchId <= lastBatchId(indexDir, lineage)) return // acknowledged replay
-    val scoped =
-      if (langs.isEmpty) batch
-      else batch.filter(col("lang").isin(langs.toSeq: _*))
-    // persisted: the pipeline (HTML-extract UDF + latest-per-url window)
-    // otherwise re-executes for the isEmpty probe, the upsert's
-    // tombstone-match join AND the append scan — 3x the extraction cost
-    // per micro-batch on the streaming hot path
-    val processed = graft.corpus.Ingest.prepareBatch(scoped).persist()
+    // shared scope+prepare+persist front half (one home: Ingest)
+    val processed = graft.corpus.Ingest.prepareScoped(batch, langs)
     try {
       // a batch emptied by lang scoping / validation must not commit a
       // generation of empty segments (plus a full termdict rebuild) — but

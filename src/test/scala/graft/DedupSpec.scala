@@ -42,6 +42,24 @@ class DedupSpec extends SparkSuite {
     groups.foreach(r => assert(r.getLong(1) === 2L))
   }
 
+  test("empty/null texts yield empty shingle sets and NO near-dup pairs") {
+    // "".split(" ") is Array("") — without the empty-set guard every pair
+    // of empty docs would share the "" shingle at jaccard 1.0 (C(m,2)
+    // blowup the prefix plan cannot prune)
+    assert(Dedup.shingles("", 3).isEmpty)
+    assert(Dedup.shingles("   ", 3).isEmpty)
+    val mixed = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "alpha beta gamma delta epsilon"))
+      .toDF("id", "text")
+    Seq(
+      Dedup.jaccardPairs(mixed, "id", "text", 3, 0.1),
+      Dedup.jaccardPairsPrefix(mixed, "id", "text", 3, 0.1),
+      Dedup.minhashLshPairs(mixed, "id", "text", 3, 64, 16, 0.1)).foreach { pairs =>
+      val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 5L)), s"empty docs leaked pairs: $got")
+    }
+  }
+
   test("n-gram Jaccard pairs equal the naive all-pairs oracle") {
     val got = Dedup.jaccardPairs(docs, "id", "text", 3, 0.5)
       .as[(Long, Long, Double)].collect().toSet

@@ -320,6 +320,27 @@ class OpsSpec extends SparkSuite {
     assert(fp === expected)
   }
 
+  test("strict lookup ignores null dim keys; provenance edges pass the forest check") {
+    import graft.ops.{Lookup, Ontology}
+    // two null-key dim rows share a group, but a null key can never match
+    // a fact row (SQL null equality) — strict mode must not call that
+    // ambiguous
+    val facts = Seq((1L, "k1")).toDF("fid", "fk")
+    val dimWithNulls = Seq(("k1", "a"),
+      (null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "y"))
+      .toDF("dk", "payload")
+    val got = Lookup.ambiguityChecked(facts, col("fk"), dimWithNulls, "dk")
+      .select("fid", "payload").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "a")))
+    // a repeated (id,parent) edge under DIFFERENT provenance values is
+    // one parent — the forest check dedups on the edge key, not full rows
+    val edges = Seq((2L, 1L, "srcA"), (2L, 1L, "srcB"), (3L, 1L, "srcA"))
+      .toDF("id", "parent", "provenance")
+    val chains = Ontology.ancestorChain(edges)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(chains === Map(2L -> Seq(1L), 3L -> Seq(1L)))
+  }
+
   test("ambiguity-checked lookup: clean, miss, and duplicate-key behaviors") {
     import graft.ops.Lookup
     val facts = Seq((1L, "k1"), (2L, "k2"), (3L, "k3")).toDF("fid", "fk")

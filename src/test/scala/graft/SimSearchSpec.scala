@@ -135,4 +135,26 @@ class SimSearchSpec extends SparkSuite {
     val dup = got.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
     assert(dup.isEmpty, s"duplicate (probe, nbr) rows: ${dup.keys.take(5)}")
   }
+
+  test("null embedding rows are dropped, never a task-killing NPE") {
+    // one corrupt row must not abort the corpus (same convention as
+    // Dedup's null text): every entry point filters null vectors from
+    // both sides before any arithmetic or centroid/bucket derivation
+    val withNull = (vectors :+ (999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val probes = vectors.take(3).toDF("vec_id", "embedding")
+    val clean = vectors.toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "nbr_id", "rnk").as[(Long, Long, Int)]
+        .collect().toSet
+    assert(ids(SimSearch.cosineTopK(withNull, probes, "vec_id", "embedding", 5)) ===
+      ids(SimSearch.cosineTopK(clean, probes, "vec_id", "embedding", 5)))
+    assert(ids(SimSearch.ivfTopK(withNull, probes, "vec_id", "embedding", 5)) ===
+      ids(SimSearch.ivfTopK(clean, probes, "vec_id", "embedding", 5)))
+    assert(ids(SimSearch.annTopK(withNull, probes, "vec_id", "embedding", 5)) ===
+      ids(SimSearch.annTopK(clean, probes, "vec_id", "embedding", 5)))
+    val pairs = SimSearch.nearDupPairs(withNull, "vec_id", "embedding", 0.9)
+    val cleanPairs = SimSearch.nearDupPairs(clean, "vec_id", "embedding", 0.9)
+    assert(pairs.count() === cleanPairs.count())
+  }
 }
