@@ -258,20 +258,35 @@ object Snapshot {
     }
   }
 
-  /** All committed snapshots, ascending by id — the index's history chain
-    * (each entry's `parent` links to its predecessor). */
+  /** All COMMITTED snapshots, ascending by id — the chain reachable from
+    * LATEST via `parent` pointers. Deliberately NOT a directory glob:
+    * commit() moves snap-NNNNN.json into place BEFORE the LATEST rename,
+    * so a crash between the two leaves a fully-readable ORPHAN snap file
+    * that was never committed. A glob returns the orphan as history —
+    * and vacuum would then take an orphan complete snapshot as the
+    * last-complete reference, reclaiming dirs the REAL last-complete
+    * snapshot still references (breaking the documented rollback
+    * remediation and pinned readers). */
   def list(indexDir: String): Seq[SnapshotMeta] = {
-    val dir = snapsDir(indexDir)
-    if (!Files.isDirectory(dir)) Nil
-    else {
-      val ls = Files.list(dir)
-      try ls.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
-        .toSeq.sorted
-        .flatMap(at(indexDir, _))
-      finally ls.close()
+    @annotation.tailrec
+    def walk(id: Int, acc: List[SnapshotMeta]): List[SnapshotMeta] =
+      at(indexDir, id) match {
+        case None => acc // pre-history (vacuumed ancestor files)
+        case Some(m) =>
+          if (m.parent >= m.id)
+            throw new IllegalStateException(
+              s"snapshot chain corrupt under $indexDir: " +
+                s"snap ${m.id} has parent ${m.parent} (must decrease)")
+          if (m.parent < 0) m :: acc else walk(m.parent, m :: acc)
+      }
+    latest(indexDir) match {
+      case None => Nil
+      case Some(l) =>
+        if (l.parent >= l.id)
+          throw new IllegalStateException(
+            s"snapshot chain corrupt under $indexDir: " +
+              s"snap ${l.id} has parent ${l.parent} (must decrease)")
+        if (l.parent < 0) List(l) else walk(l.parent, List(l))
     }
   }
 }

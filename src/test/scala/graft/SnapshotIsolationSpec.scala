@@ -49,4 +49,28 @@ class SnapshotIsolationSpec extends SparkSuite {
     assert(tt.topK("alpha", 10).map(h => (h.docId, h.score)).toSeq ===
       before.map(h => (h.docId, h.score)).toSeq)
   }
+
+  test("an orphan snap file from a crashed commit is not history") {
+    // commit() moves snap-NNNNN.json into place BEFORE the LATEST rename;
+    // a crash between the two leaves a readable orphan. list() must walk
+    // the parent chain from LATEST, not glob the directory — a glob would
+    // hand vacuum the orphan as the last-complete reference and reclaim
+    // dirs the real chain still needs
+    val dir = Files.createTempDirectory("graft-orphan").toString
+    val docs = Seq(("doc://0", "alpha beta"), ("doc://1", "gamma delta"))
+    IndexBuilder.build(spark, docs.toDF("url", "text"), dir,
+      IndexConfig(numSegments = 2, blockSize = 4))
+    val committed = Snapshot.latest(dir).get
+    // simulate the crashed commit: a complete-looking snap with the next
+    // id, written but never pointed to by LATEST
+    val snapsDir = java.nio.file.Paths.get(dir, "snapshots")
+    val orphanId = committed.id + 1
+    val json = Files.readString(
+      snapsDir.resolve(f"snap-${committed.id}%05d.json"))
+    Files.writeString(snapsDir.resolve(f"snap-$orphanId%05d.json"),
+      json.replace("\"id\" : " + committed.id, "\"id\" : " + orphanId))
+    assert(Snapshot.latest(dir).get.id === committed.id)
+    assert(Snapshot.list(dir).map(_.id) === Seq(committed.id),
+      "orphan snap file leaked into the committed history")
+  }
 }
