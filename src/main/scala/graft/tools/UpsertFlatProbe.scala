@@ -14,8 +14,11 @@ import graft.streaming.IndexStream
   * applies fixed-size recrawl batches through the real streaming body
   * (IndexStream.refreshBatch) and reports per-batch wall time per
   * generation count. Flat-with-±noise across 1..8 generations is the
-  * claim; the one deliberately index-shaped residual is the termdict
-  * rebuild at each commit (vocab-bounded on this corpus). One JSON line.
+  * claim; since the commit-time termdict went incremental
+  * (IndexBuilder.writeTermdictDelta) the per-commit artifact cost is
+  * O(vocab + batch metadata), no longer O(generations x vocab), so the
+  * probe also reports the termdict plan taken on the last batch.
+  * One JSON line.
   * Usage: runMain graft.tools.UpsertFlatProbe [docsPerGen] [batchDocs] */
 object UpsertFlatProbe {
 
@@ -61,7 +64,7 @@ object UpsertFlatProbe {
       val cells = results.map { case (g, ts, docs) =>
         f""""g$g":{"docs":$docs,"batch_secs":[${ts.map(t => f"$t%.2f").mkString(",")}],"median_sec":${BenchHarness.median(ts)}%.2f}"""
       }
-      println(s"""{"upsert_flatness":{"docs_per_gen":$docsPerGen,"batch_docs":$batchDocs,${cells.mkString(",")}}}""")
+      println(s"""{"upsert_flatness":{"docs_per_gen":$docsPerGen,"batch_docs":$batchDocs,"termdict_plan":"${IndexBuilder.lastTermdictPlan}",${cells.mkString(",")}}}""")
       ok = true
     } finally {
       // stop FIRST, delete after: base holds the session's spark-local
