@@ -1505,11 +1505,14 @@ object SparkEntry {
               FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
               GROUP BY 1)"""
 
+  // tokenization matches Dedup.shingles: split on single spaces, DROP empty
+  // tokens (whitespace runs), positions renumbered over the kept tokens
   private val JaccardSql =
     """WITH toks AS (
-         SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-                unnest(range(1, len(string_split(text,' '))+1)) AS pos
-         FROM documents),
+         SELECT doc_id, unnest(lst) AS tok, unnest(range(1, len(lst)+1)) AS pos
+         FROM (SELECT doc_id,
+                      list_filter(string_split(text,' '), t -> t <> '') AS lst
+               FROM documents)),
        sh AS (
          SELECT DISTINCT a.doc_id AS id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
          FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1

@@ -223,6 +223,23 @@ object Dedup {
     sig
   }
 
+  /** `(id, sig)` MinHash signatures over the shingle sets. Docs with EMPTY
+    * shingle sets (null/empty/whitespace-only text) get NO row — minhashOf
+    * over an empty set is the same all-MaxValue signature for every such
+    * doc, so m empty docs would collide in one bucket of every band and
+    * the candidate join would materialize bands*C(m,2) rows before verify
+    * discards them: the quadratic blowup the shingle paths' empty-set
+    * guard already prevents, applied before banding. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sigUdf = udf { (text: String) =>
+      val sh = shingles(if (text == null) "" else text, n)
+      if (sh.isEmpty) null else minhashOf(sh, numHashes)
+    }
+    docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** MinHash+LSH near-dup pairs: signature -> band buckets -> candidate
     * equi-join on (band, bucket) -> exact Jaccard verify >= threshold.
     * Approximate recall (tunable via bands x rows), exact precision (the
@@ -233,10 +250,7 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigUdf = udf((text: String) =>
-      minhashOf(shingles(if (text == null) "" else text, n), numHashes))
-    val sigs = docs.select(col(idCol).as("id"),
-      sigUdf(col(textCol)).as("sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
 
     // band key = hash of the band's signature slice
     val bandUdf = udf((sig: Seq[Long], band: Int) =>

@@ -240,8 +240,12 @@ object IndexStream {
     * extraction invariant, latest-edition-per-url within the batch, then
     * upsert (recaptured urls tombstone their old version, fresh urls
     * append). `lineage` identifies the checkpoint lineage the batch ids
-    * belong to (refreshStream passes the checkpoint dir). Public so tests
-    * can drive crash/replay scenarios. */
+    * belong to — refreshStream passes [[checkpointLineage]]'s persistent
+    * query id, NOT the checkpoint path: a cleared-then-recreated checkpoint
+    * at the same path renumbers batches from 0, and a path-keyed ledger
+    * would skip them as acknowledged replays (fresh data silently dropped;
+    * RecrawlStreamSpec's clear-and-restart test pins this). Public so
+    * tests can drive crash/replay scenarios. */
   def refreshBatch(spark: SparkSession, indexDir: String, cfg: IndexConfig,
       langs: Set[String] = Set.empty, lineage: String = "manual")(
       batch: DataFrame, batchId: Long): Unit = {

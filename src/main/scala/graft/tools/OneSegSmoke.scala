@@ -64,6 +64,11 @@ object OneSegSmoke {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
     val docs = args.headOption.map(_.toLong).getOrElse(50000000L)
     require(docs % 8 == 0, "docs must be a multiple of 8 (closed-form sumdl)")
+    // above 1e9 the %09d-padded urls stop sorting numerically, so rank != i
+    // and every closed-form check below would fail while IMPLICATING the
+    // engine (same spurious-failure guard as PurgeSmoke)
+    require(docs >= 10000 && docs <= 1000000000L,
+      "docs must be in [1e4, 1e9]: url padding is 9 digits")
     val base = sys.env.getOrElse("GRAFT_SMOKE_TMP",
       BenchHarness.tmpfsRoot) + "/graft-onesegsmoke"
     Files.createDirectories(Paths.get(base))

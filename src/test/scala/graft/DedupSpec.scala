@@ -58,6 +58,14 @@ class DedupSpec extends SparkSuite {
       val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got === Set((1L, 5L)), s"empty docs leaked pairs: $got")
     }
+    // the MinHash guard must hold at the CANDIDATE stage, not just the
+    // verified output: an empty shingle set has the degenerate all-MaxValue
+    // signature, so m empty docs sharing it would put bands*C(m,2)
+    // candidate rows through the bucket join before verify drops them.
+    // Empty docs therefore get NO signature row at all.
+    val sigs = Dedup.minhashSignatures(mixed, "id", "text", 3, 64)
+      .select("id").as[Long].collect().toSet
+    assert(sigs === Set(1L, 5L), s"empty docs got LSH signatures: $sigs")
   }
 
   test("n-gram Jaccard pairs equal the naive all-pairs oracle") {
