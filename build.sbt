@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep the benchmark's ONE-JSON-LINE stdout contract literal: without
+// this, sbt appends "[success] Total time: ..." AFTER the JSON line, so
+// a consumer reading the last line of a runMain's output gets sbt's
+// banner instead of the program's result
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

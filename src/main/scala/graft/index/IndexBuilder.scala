@@ -1171,14 +1171,6 @@ object IndexBuilder {
     else Array.concat(sorted.map(r => Varint.decodeInts(r.docBytes)): _*)
   }
 
-  /** Concatenate a segment's chunked url marker rows (any input order)
-    * into the full rank-indexed table. */
-  private[graft] def concatUrls(rows: Seq[PostingRow]): Array[String] = {
-    val sorted = rows.sortBy(_.chunk)
-    if (sorted.lengthCompare(1) == 0) Varint.decodeStrings(sorted.head.tfBytes)
-    else Array.concat(sorted.map(r => Varint.decodeStrings(r.tfBytes)): _*)
-  }
-
   /** Encode a sorted docId stream as a TermDels tombstone row (tf/doclen
     * are 1-filled — tombstones are exclusion cursors, never scored).
     * Deliberately stream-only: corpus-sized id sets must never

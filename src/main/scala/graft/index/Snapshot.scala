@@ -279,14 +279,8 @@ object Snapshot {
                 s"snap ${m.id} has parent ${m.parent} (must decrease)")
           if (m.parent < 0) m :: acc else walk(m.parent, m :: acc)
       }
-    latest(indexDir) match {
-      case None => Nil
-      case Some(l) =>
-        if (l.parent >= l.id)
-          throw new IllegalStateException(
-            s"snapshot chain corrupt under $indexDir: " +
-              s"snap ${l.id} has parent ${l.parent} (must decrease)")
-        if (l.parent < 0) List(l) else walk(l.parent, List(l))
-    }
+    // one extra snapshot-file read (latest is re-read by id) buys a single
+    // home for the corrupt-chain guard and base case
+    latest(indexDir).map(l => walk(l.id, Nil)).getOrElse(Nil)
   }
 }

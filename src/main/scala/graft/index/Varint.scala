@@ -118,7 +118,6 @@ object Varint {
 
   def decodeStrings(bytes: Array[Byte]): Array[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    var pos = 0
     val r = new Reader(bytes, 0)
     while (r.hasNext) {
       val len = r.readInt()

@@ -29,6 +29,22 @@ object Searcher {
     * columnar batch-size conf (see IndexHandle.postings). */
   private[search] val cacheBuildLock = new Object
 
+  /** Binary search in UTF-8 byte order — the order the builder sorted by.
+    * Static (no handle state) so executor-side probes don't capture the
+    * handle in their closure. */
+  private[search] def binarySearchUtf8(tab: Array[String], u: String): Int = {
+    var lo = 0
+    var hi = tab.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = OracleSearch.utf8Compare(tab(mid), u)
+      if (c < 0) lo = mid + 1
+      else if (c > 0) hi = mid - 1
+      else return mid
+    }
+    -1
+  }
+
   def topK(spark: SparkSession, indexDir: String, query: String, k: Int): Array[Hit] =
     new IndexHandle(spark, indexDir, warm = false).topK(query, k)
 
@@ -499,15 +515,23 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     } else ds
   }
 
-  // warm handles memoize per-segment url tables on the driver: the second
-  // per-query Spark job disappears once a segment's winners have been seen.
-  // BYTE-budgeted LRU (like the other two driver caches): url tables are
-  // the LARGEST per-segment artifact (one String per document), and a
-  // count cap never binds on a few-big-segments index — the map would
-  // grow toward the whole corpus's url bytes on a long-lived handle
-  // answering ids lookups across every segment.
+  // warm handles memoize decoded url CHUNKS on the driver: the second
+  // per-query Spark job disappears once the chunks a segment's winners
+  // land in have been seen. BYTE-budgeted LRU (like the other driver
+  // caches): url tables are the LARGEST per-segment artifact (one String
+  // per document), and a count cap never binds on a few-big-segments
+  // index — the map would grow toward the whole corpus's url bytes on a
+  // long-lived handle answering lookups across every segment.
   private val urlCache =
-    new BytesLru[Int, Array[String]](512L << 20, BytesLru.urlBytes)
+    new BytesLru[(Int, Int), Array[String]](512L << 20, BytesLru.urlBytes)
+
+  // per-url ids-resolution memo: url -> (segId, docId) per generation it
+  // exists in (empty = absent, negative-cached against the pinned
+  // snapshot). Bounds by RESULT bytes — a few pairs per url — never by
+  // url-table bytes: the resolution job itself runs executor-side.
+  private val idsCache =
+    new BytesLru[String, Array[(Int, Long)]](64L << 20,
+      arr => 96L + 24L * arr.length)
 
   // served path: hot posting rows + doc-length tables memoized on the
   // driver (bounded LRU), so repeated-term queries never touch the cluster
@@ -602,20 +626,48 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       // be a per-query Spark job
       absent = Some(_ => Array.empty[PostingRow]))
 
-  /** Fetch (and memoize, LRU) the sorted url tables of `segs`. The result
-    * map holds strong references, so entries evicted between calls are
-    * simply refetched — never observed half-missing. Absent segments
-    * resolve empty but are deliberately NOT negative-cached. */
-  private def urlTables(segs: Seq[Int]): Map[Int, Array[String]] =
-    cachedFetch(urlCache, urlCache, segs.distinct)(
-      missing =>
+  /** Fetch (and memoize, LRU) decoded url CHUNKS keyed (segId, chunk) —
+    * never a whole segment's table: at the documented segment sizing
+    * (10^8 docs) a full url table is multi-GB of driver strings, while a
+    * chunk is bounded by markerChunkDocs regardless of segment size (the
+    * point of the block-chunked v2 marker format). The result map holds
+    * strong references, so entries evicted between calls are simply
+    * refetched — never observed half-missing. Absent chunks resolve
+    * empty but are deliberately NOT negative-cached. */
+  private def urlChunks(keys: Seq[(Int, Int)])
+      : Map[(Int, Int), Array[String]] =
+    cachedFetch(urlCache, urlCache, keys.distinct)(
+      missing => {
+        // (segId IN, chunk IN) is a pushdown-friendly superset of the
+        // wanted pairs; the exact pair filter runs on the fetched rows
+        val want = missing.toSet
         postings
           .filter(col("term") === IndexBuilder.TermUrls &&
-            col("segId").isin(missing: _*))
-          .collect().groupBy(_.segId)
-          .map { case (s, rows) => s -> IndexBuilder.concatUrls(rows.toSeq) },
+            col("segId").isin(missing.map(_._1).distinct: _*) &&
+            col("chunk").isin(missing.map(_._2).distinct: _*))
+          .collect().iterator
+          .filter(r => want((r.segId, r.chunk)))
+          .map(r => (r.segId, r.chunk) -> Varint.decodeStrings(r.tfBytes))
+          .toMap
+      },
       absent = Some(_ => Array.empty[String]),
       cacheAbsent = false)
+
+  /** Decorate scored rows with urls: rank -> (chunk ordinal, offset) via
+    * the chunking invariant (chunk c starts at rank c*markerChunkDocs),
+    * fetching only the chunks the k winners land in. */
+  private def decorateHits(rows: Array[(Long, Double, Int)]): Array[Hit] = {
+    val chunkDocs = snap.markerChunkDocs
+    val keys = rows.map { case (d, _, s) =>
+      (s, ((d - IndexBuilder.segBase(s) - 1) / chunkDocs).toInt)
+    }.toSeq
+    val chunks = urlChunks(keys)
+    rows.zipWithIndex.map { case ((docId, score, seg), i) =>
+      val rank = docId - IndexBuilder.segBase(seg) - 1
+      val tab = chunks((seg, (rank / chunkDocs).toInt))
+      Hit(i + 1, docId, tab((rank % chunkDocs).toInt), score)
+    }
+  }
 
   private def dictDf(terms: Seq[String]): Map[String, Long] = driverDict match {
     case Some(m) => terms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
@@ -626,47 +678,63 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  /** ids (urls) -> per-segment sorted docIds, by binary search in the
-    * candidate segments' sorted url tables (seg-local rank IS the url sort
-    * position, so no posting bytes are touched). A url may exist in one
-    * segment per generation; all generations are probed. Tombstoned urls
-    * still resolve — their docIds are vetoed at scoring time, and
-    * [[graft.index.Deletes]] uses this to find the docIds to tombstone. */
+  /** ids (urls) -> per-segment sorted docIds, resolved EXECUTOR-side: each
+    * url chunk of the candidate segments binary-searches the probe urls
+    * that hash to its segment (seg-local rank IS the url sort position,
+    * and chunk c holds ranks [c*markerChunkDocs, (c+1)*markerChunkDocs)),
+    * so only (segId, docId) pairs — bounded by the probe list — cross to
+    * the driver. The whole-table driver fetch this replaces decoded every
+    * candidate segment's url table into driver memory (multi-GB at the
+    * documented 10^8-doc segment sizing) to answer a handful of probes.
+    * A url may exist in one segment per generation; all generations are
+    * probed. Tombstoned urls still resolve — their docIds are vetoed at
+    * scoring time, and [[graft.index.Deletes]] uses this to find the
+    * docIds to tombstone. */
   private[graft] def resolveDocIds(urls: Seq[String]): Map[Int, Array[Long]] = {
-    val P = snap.numSegments
-    val gens = snap.generations
-    val segs = urls.map(u => Hashing.segmentOf(u, P)).distinct
-      .flatMap(s0 => (0 until gens).map(_ * P + s0))
-    val tables = urlTables(segs)
-    val out = scala.collection.mutable.HashMap
-      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
-    urls.distinct.foreach { u =>
-      val s0 = Hashing.segmentOf(u, P)
-      var g = 0
-      while (g < gens) {
-        val seg = g * P + s0
-        val idx = binarySearchUtf8(tables.getOrElse(seg, Array.empty[String]), u)
-        if (idx >= 0)
-          out.getOrElseUpdate(seg, ArrayBuffer.empty[Long]) +=
-            IndexBuilder.segBase(seg) + idx + 1
-        g += 1
-      }
-    }
-    out.map { case (s, b) => s -> b.toArray.sorted }.toMap
+    if (urls.isEmpty) return Map.empty
+    val resolved = cachedFetch(idsCache, idsCache, urls.distinct)(
+      missing => resolveUncached(missing),
+      // the handle pins its snapshot, so an absent url stays absent —
+      // negative-cache it (same argument as fetchPostings), making
+      // repeated ids lookups job-free (the S10 LRU point-lookup surface)
+      absent = Some(_ => Array.empty[(Int, Long)]))
+    resolved.valuesIterator.flatten.toArray
+      .groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2).sorted }
   }
 
-  /** Binary search in UTF-8 byte order — the order the builder sorted by. */
-  private def binarySearchUtf8(tab: Array[String], u: String): Int = {
-    var lo = 0
-    var hi = tab.length - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val c = OracleSearch.utf8Compare(tab(mid), u)
-      if (c < 0) lo = mid + 1
-      else if (c > 0) hi = mid - 1
-      else return mid
-    }
-    -1
+  /** The Spark job behind [[resolveDocIds]], for urls not in the LRU. */
+  private def resolveUncached(urls: Seq[String])
+      : Map[String, Array[(Int, Long)]] = {
+    import spark.implicits._
+    val P = snap.numSegments
+    val gens = snap.generations
+    val chunkDocs = snap.markerChunkDocs
+    // task-closure probe map, bounded by the caller's url list
+    val probes: Map[Int, Array[String]] =
+      urls.groupBy(u => Hashing.segmentOf(u, P))
+        .map { case (s0, us) => s0 -> us.toArray }
+    val segs = probes.keys.flatMap(s0 => (0 until gens).map(_ * P + s0)).toSeq
+    val found = postings
+      .filter(col("term") === IndexBuilder.TermUrls &&
+        col("segId").isin(segs: _*))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val targets = probes.getOrElse(r.segId % P, Array.empty[String])
+          if (targets.isEmpty) Iterator.empty
+          else {
+            val tab = Varint.decodeStrings(r.tfBytes)
+            val base =
+              IndexBuilder.segBase(r.segId) + r.chunk.toLong * chunkDocs
+            targets.iterator.flatMap { u =>
+              val idx = Searcher.binarySearchUtf8(tab, u)
+              if (idx >= 0) Iterator.single((u, r.segId, base + idx + 1))
+              else Iterator.empty
+            }
+          }
+        }
+      }.collect()
+    found.groupBy(_._1)
+      .map { case (u, arr) => u -> arr.map(t => (t._2, t._3)) }
   }
 
   /** Compile against this snapshot; None = provably-empty result. */
@@ -727,11 +795,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       after: Option[(Double, Long)]): Array[Hit] = {
     val rows = searchRaw(q, k, after)
     if (rows.isEmpty) return Array.empty
-    val urls = urlTables(rows.map(_._3).distinct.toSeq)
-    rows.zipWithIndex.map { case ((docId, score, seg), i) =>
-      Hit(i + 1, docId,
-        urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt), score)
-    }
+    decorateHits(rows)
   }
 
   /** [[search]] without url resolution: (docId, score, segId) rows —
@@ -838,11 +902,12 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   /** Shared preamble of the three match-enumeration surfaces
     * (matchTombstoneRows / countMatches / matchesDF): compile, candidate
     * -segment prune, marker-aware shuffled-term list, and the
-    * per-segment group split into (all rows, tombstone rows, positive
-    * term rows) handed to `body` with the compiled query and block size.
+    * per-segment split into (streamed marker rows, tombstone rows,
+    * positive term rows) handed to `body` with the compiled query and
+    * block size.
     *
     * The marker invariant lives HERE, once: TermLens rides along ONLY
-    * for pure-ids queries with no other anchor (it guarantees a group
+    * for pure-ids queries with no other anchor (it guarantees rows
     * per candidate segment when no clause term has a posting row there);
     * for term queries every candidate segment has a positive posting row
     * to anchor on, and including TermLens would shuffle every candidate
@@ -851,9 +916,19 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     * (matchesDF's TermUrls) passes it as `extraMarker` and anchors on
     * that instead. The candidate prune keeps non-matching segments' url
     * tables and (post-mass-delete, corpus-sized) tombstone rows from
-    * moving at all. Returns None when the query cannot match. */
+    * moving at all. Returns None when the query cannot match.
+    *
+    * Memory contract: tombstone and query-term posting rows are buffered
+    * per segment (the cursor machinery needs them up front; both are
+    * bounded — compressed tombstones and the QUERY's terms, not the
+    * segment). The extraMarker rows — the segment's DOMINANT bytes (one
+    * url per document) — are NEVER buffered: the partition sort puts
+    * them after the buffered classes in chunk order, and `body` receives
+    * them as a streaming iterator, one chunk row referenced at a time
+    * (the groupByKey/toSeq shape this replaces pinned a whole segment's
+    * url table per task — multi-GB at the documented 10^8-doc sizing). */
   private def enumeratePerSegment[T](q: BoolQuery, extraMarker: Option[String])(
-      body: (CompiledQuery, Int, Int, Seq[PostingRow], Seq[PostingRow],
+      body: (CompiledQuery, Int, Int, Iterator[PostingRow], Seq[PostingRow],
         Seq[PostingRow]) => Iterator[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Option[Dataset[T]] = {
     import spark.implicits._
@@ -868,16 +943,44 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
        else Nil) ++
       (IndexBuilder.TermDels +: c.allTerms.toSeq)
     val bs = blockSize
+    val marker = extraMarker
     val filtered = postings.filter(col("term").isin(wanted: _*) &&
       col("segId").isin(cand: _*))
-    Some(filtered.groupByKey(_.segId).flatMapGroups {
-      (segId: Int, it: Iterator[PostingRow]) =>
-        val rows = it.toSeq
-        val dels = rows.filter(_.term == IndexBuilder.TermDels)
-        val terms = rows.filter(r =>
-          r.term != IndexBuilder.TermDels && r.term != IndexBuilder.TermLens &&
-          r.term != IndexBuilder.TermUrls)
-        body(c, segId, bs, rows, dels, terms)
+    // the class column exists only when a marker rides along (a bare
+    // lit(0) in ORDER BY would be read as ordinal position 0)
+    val sortCols = col("segId") +: (marker.map(m =>
+      when(col("term") === lit(m), lit(1)).otherwise(lit(0))).toSeq :+
+      col("chunk"))
+    val sorted = filtered
+      .repartition(col("segId"))
+      .sortWithinPartitions(sortCols: _*)
+    Some(sorted.mapPartitions { it0 =>
+      val it = it0.buffered
+      def oneSeg(): Iterator[T] = {
+        val segId = it.head.segId
+        val dels = Seq.newBuilder[PostingRow]
+        val terms = Seq.newBuilder[PostingRow]
+        while (it.hasNext && it.head.segId == segId &&
+            !marker.contains(it.head.term)) {
+          val r = it.next()
+          if (r.term == IndexBuilder.TermDels) dels += r
+          else if (r.term != IndexBuilder.TermLens) terms += r
+        }
+        val markers: Iterator[PostingRow] = new Iterator[PostingRow] {
+          def hasNext: Boolean = it.hasNext && it.head.segId == segId
+          def next(): PostingRow = it.next()
+        }
+        body(c, segId, bs, markers, dels.result(), terms.result()) ++ {
+          // body may finish before the last marker chunk (its match
+          // stream ended early) — drain to the segment boundary so the
+          // next group never starts mid-segment
+          while (markers.hasNext) markers.next()
+          Iterator.empty
+        }
+      }
+      def all(): Iterator[T] =
+        if (!it.hasNext) Iterator.empty else oneSeg() ++ all()
+      all()
     })
   }
 
@@ -958,40 +1061,39 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     val chunkDocs = snap.markerChunkDocs
     enumeratePerSegment[(Long, String, Int)](q,
         extraMarker = Some(IndexBuilder.TermUrls)) {
-      (c, segId, bs, rows, dels, terms) =>
-        val urlChunks = rows.filter(_.term == IndexBuilder.TermUrls)
-          .sortBy(_.chunk).toArray
-        if (urlChunks.isEmpty) Iterator.empty
-        else {
-          val segB = IndexBuilder.segBase(segId)
-          // rank-lockstep walk over the CHUNKED url table: matches ascend,
-          // so the walk moves forward chunk-by-chunk — chunks the match
-          // stream jumps over are never decoded at all (chunk c starts at
-          // rank c*chunkDocs, the chunking invariant), and within a chunk
-          // non-matching urls are skipped by length prefix, O(1) state
-          var ci = 0
-          var rd: Varint.Reader = null
-          var rank = 0L
-          MatchEnum.enumerate(segId, terms, dels, c, bs).map { d =>
-            val want = d - segB - 1
-            while (ci < urlChunks.length - 1 &&
-                want >= (urlChunks(ci).chunk + 1).toLong * chunkDocs) {
-              ci += 1
-              rd = null
-            }
-            if (rd == null) {
-              rd = new Varint.Reader(urlChunks(ci).tfBytes, 0)
-              rank = urlChunks(ci).chunk.toLong * chunkDocs
-            }
-            while (rank < want) { // skip non-matching urls, streaming
-              val len = rd.readInt(); rd.pos += len; rank += 1
-            }
-            val len = rd.readInt()
-            val url = new String(urlChunks(ci).tfBytes, rd.pos, len,
-              java.nio.charset.StandardCharsets.UTF_8)
-            rd.pos += len; rank += 1
-            (d, url, segId)
+      (c, segId, bs, markers, dels, terms) =>
+        val segB = IndexBuilder.segBase(segId)
+        // rank-lockstep walk over the STREAMED url chunks: matches ascend
+        // and chunk rows arrive in ascending chunk order, so the walk
+        // pulls forward chunk-by-chunk — chunks the match stream jumps
+        // over are pulled but never decoded (chunk c starts at rank
+        // c*chunkDocs, the chunking invariant), within a chunk
+        // non-matching urls are skipped by length prefix, and only ONE
+        // chunk's bytes are referenced at a time — O(1) state however
+        // large the segment
+        var cur: PostingRow = null
+        var rd: Varint.Reader = null
+        var rank = 0L
+        MatchEnum.enumerate(segId, terms, dels, c, bs).map { d =>
+          val want = d - segB - 1
+          while (cur == null || want >= (cur.chunk + 1).toLong * chunkDocs) {
+            require(markers.hasNext,
+              s"url table of segment $segId ended before rank $want")
+            cur = markers.next()
+            rd = null
           }
+          if (rd == null) {
+            rd = new Varint.Reader(cur.tfBytes, 0)
+            rank = cur.chunk.toLong * chunkDocs
+          }
+          while (rank < want) { // skip non-matching urls, streaming
+            val len = rd.readInt(); rd.pos += len; rank += 1
+          }
+          val len = rd.readInt()
+          val url = new String(cur.tfBytes, rd.pos, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+          rd.pos += len; rank += 1
+          (d, url, segId)
         }
     }.map(_.toDF("docId", "url", "segId")).getOrElse(
       spark.emptyDataset[(Long, String, Int)].toDF("docId", "url", "segId"))
@@ -1016,9 +1118,18 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
 
     val candSegs: Seq[Int] = {
       val base: Set[Int] =
-        if (c.must.nonEmpty || c.filter.nonEmpty)
-          (c.must ++ c.filter).map(t => rowsByTerm(t).iterator.map(_.segId).toSet)
-            .reduce(_ intersect _)
+        if (c.must.nonEmpty || c.filter.nonEmpty) {
+          // intersect FROM the rarest required term's segments: the
+          // working set is then bounded by the rarest term, and a hot
+          // stopword-scale required term (rows in every segment)
+          // contributes one iteration, never its own segments-sized Set
+          // allocation per served query
+          val req = (c.must ++ c.filter).distinct
+            .map(t => rowsByTerm(t)).sortBy(_.length)
+          req.tail.foldLeft(req.head.iterator.map(_.segId).toSet) {
+            (cur, rows) => rows.iterator.map(_.segId).filter(cur).toSet
+          }
+        }
         else if (c.hasIds) c.idsBySeg.keySet
         else c.scoringTerms.iterator.flatMap(t => rowsByTerm(t).map(_.segId)).toSet
       (if (c.hasIds) base.intersect(c.idsBySeg.keySet) else base).toSeq.sorted
@@ -1071,11 +1182,7 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     }.seq.toArray
     val top = hits.sortBy { case (docId, score, _) => (-score, docId) }.take(k)
     if (top.isEmpty) return Array.empty
-    val urls = urlTables(top.map(_._3).distinct.toSeq)
-    top.zipWithIndex.map { case ((docId, score, seg), i) =>
-      Hit(i + 1, docId,
-        urls(seg)((docId - IndexBuilder.segBase(seg) - 1).toInt), score)
-    }
+    decorateHits(top)
   }
 
   /** Autocomplete over the snapshot's persisted suggest artifact (built at

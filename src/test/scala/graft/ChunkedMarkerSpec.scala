@@ -90,7 +90,7 @@ class ChunkedMarkerSpec extends SparkSuite {
     } finally warm.close()
   }
 
-  test("ids resolution crosses chunk boundaries (urlTables concat)") {
+  test("ids resolution crosses chunk boundaries (executor-side probe)") {
     // pick urls that land at ranks around the 7-slot boundaries: the url
     // table of each segment is sorted, so take a spread across positions
     val someUrls = docs.map(_._1).sorted.grouped(13).map(_.head).toSeq
@@ -260,6 +260,46 @@ class ChunkedMarkerSpec extends SparkSuite {
         } finally hB.close()
       } finally hA.close()
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("repeated ids lookups are job-free on a warm handle (per-url LRU)") {
+    // first lookup pays the executor-side resolution job; the second —
+    // same urls, including one ABSENT url (negative-cached against the
+    // pinned snapshot) — must run zero Spark jobs
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    val h = new IndexHandle(spark, chunkedDir, warm = true)
+    try {
+      val probe = docs.map(_._1).sorted.grouped(17).map(_.head).toSeq :+
+        "https://definitely-absent.example/x"
+      val first = h.resolveDocIds(probe)
+      assert(first.valuesIterator.map(_.length).sum === probe.size - 1)
+      def quiesce(): Unit = {
+        var last = -1; var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        quiesce()
+        val before = counter.get()
+        val second = h.resolveDocIds(probe)
+        quiesce()
+        assert(counter.get() === before,
+          "a repeated ids lookup ran a Spark job - the per-url LRU missed")
+        assert(second.view.mapValues(_.toSeq).toMap ===
+          first.view.mapValues(_.toSeq).toMap)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally h.close()
   }
 
   test("empty segments still commit one chunk-0 marker pair") {
