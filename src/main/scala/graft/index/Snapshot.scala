@@ -235,8 +235,14 @@ object Snapshot {
 
   def latest(indexDir: String): Option[SnapshotMeta] = {
     val ptr = snapsDir(indexDir).resolve("LATEST")
-    if (!Files.exists(ptr)) None
-    else at(indexDir, Files.readString(ptr).trim.toInt)
+    def read(): Option[SnapshotMeta] =
+      if (!Files.exists(ptr)) None
+      else at(indexDir, Files.readString(ptr).trim.toInt)
+    // between reading LATEST and opening its snap file, a concurrent
+    // commit+vacuum can advance the pointer and reclaim the snap we were
+    // about to open — one re-read lands on the NEW head instead of
+    // reporting a committed index as empty
+    read().orElse(read())
   }
 
   /** Time travel: read a specific committed snapshot by id. Data dirs of
@@ -269,18 +275,21 @@ object Snapshot {
     * remediation and pinned readers). */
   def list(indexDir: String): Seq[SnapshotMeta] = {
     @annotation.tailrec
-    def walk(id: Int, acc: List[SnapshotMeta]): List[SnapshotMeta] =
-      at(indexDir, id) match {
-        case None => acc // pre-history (vacuumed ancestor files)
-        case Some(m) =>
-          if (m.parent >= m.id)
-            throw new IllegalStateException(
-              s"snapshot chain corrupt under $indexDir: " +
-                s"snap ${m.id} has parent ${m.parent} (must decrease)")
-          if (m.parent < 0) m :: acc else walk(m.parent, m :: acc)
+    def walk(m: SnapshotMeta, acc: List[SnapshotMeta]): List[SnapshotMeta] = {
+      if (m.parent >= m.id)
+        throw new IllegalStateException(
+          s"snapshot chain corrupt under $indexDir: " +
+            s"snap ${m.id} has parent ${m.parent} (must decrease)")
+      if (m.parent < 0) m :: acc
+      else at(indexDir, m.parent) match {
+        case None => m :: acc // pre-history (vacuumed ancestor files)
+        case Some(p) => walk(p, m :: acc)
       }
-    // one extra snapshot-file read (latest is re-read by id) buys a single
-    // home for the corrupt-chain guard and base case
-    latest(indexDir).map(l => walk(l.id, Nil)).getOrElse(Nil)
+    }
+    // the HEAD meta must come from the latest() read itself, never a
+    // re-read by id: a concurrent commit+vacuum can delete the head's
+    // snap file right after LATEST moved past it, and a re-read would
+    // then report a committed index as empty
+    latest(indexDir).map(l => walk(l, Nil)).getOrElse(Nil)
   }
 }

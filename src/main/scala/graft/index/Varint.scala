@@ -116,6 +116,29 @@ object Varint {
     out.toByteArray
   }
 
+  /** (first, last) entries of a length-prefixed string blob WITHOUT
+    * decoding the rest — a prefix walk plus two String allocations. Lets
+    * a sorted-blob consumer range-check a probe before paying the full
+    * decode. Empty blob -> None. */
+  def firstLastStrings(bytes: Array[Byte]): Option[(String, String)] = {
+    if (bytes.isEmpty) return None
+    val r = new Reader(bytes, 0)
+    var len = r.readInt()
+    val first =
+      new String(bytes, r.pos, len, java.nio.charset.StandardCharsets.UTF_8)
+    var lastPos = r.pos
+    var lastLen = len
+    r.pos += len
+    while (r.hasNext) {
+      len = r.readInt()
+      lastPos = r.pos
+      lastLen = len
+      r.pos += len
+    }
+    Some((first, new String(bytes, lastPos, lastLen,
+      java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   def decodeStrings(bytes: Array[Byte]): Array[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     val r = new Reader(bytes, 0)

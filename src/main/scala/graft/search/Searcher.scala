@@ -133,18 +133,19 @@ private[search] final case class CompiledQuery(
   * when it alone exceeds the budget (the caller is about to use it).
   * NOT internally synchronized — callers hold their own lock, matching
   * the fetch paths' lock-free-Spark-fetch discipline. */
-private[search] final class BytesLru[K, V](maxBytes: Long, sizeOf: V => Long) {
+private[search] final class BytesLru[K, V](maxBytes: Long,
+    sizeOf: (K, V) => Long) {
   private var bytes = 0L
   private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
   def get(k: K): V = map.get(k)
   def put(k: K, v: V): Unit = {
     val old = map.put(k, v)
-    if (old != null) bytes -= sizeOf(old)
-    bytes += sizeOf(v)
+    if (old != null) bytes -= sizeOf(k, old)
+    bytes += sizeOf(k, v)
     val it = map.entrySet().iterator() // access-order: LRU first
     while (bytes > maxBytes && map.size() > 1) {
       val e = it.next()
-      bytes -= sizeOf(e.getValue)
+      bytes -= sizeOf(e.getKey, e.getValue)
       it.remove()
     }
   }
@@ -523,15 +524,18 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   // index — the map would grow toward the whole corpus's url bytes on a
   // long-lived handle answering lookups across every segment.
   private val urlCache =
-    new BytesLru[(Int, Int), Array[String]](512L << 20, BytesLru.urlBytes)
+    new BytesLru[(Int, Int), Array[String]](512L << 20,
+      (_, v) => BytesLru.urlBytes(v))
 
   // per-url ids-resolution memo: url -> (segId, docId) per generation it
   // exists in (empty = absent, negative-cached against the pinned
-  // snapshot). Bounds by RESULT bytes — a few pairs per url — never by
-  // url-table bytes: the resolution job itself runs executor-side.
+  // snapshot). The entry weight counts the url KEY too — it DOMINATES a
+  // negative entry (empty array), and a long-lived handle probing
+  // millions of distinct mostly-absent urls must be bounded by what the
+  // map actually retains, not by result bytes alone.
   private val idsCache =
     new BytesLru[String, Array[(Int, Long)]](64L << 20,
-      arr => 96L + 24L * arr.length)
+      (u, arr) => 96L + 2L * u.length + 24L * arr.length)
 
   // served path: hot posting rows + doc-length tables memoized on the
   // driver (bounded LRU), so repeated-term queries never touch the cluster
@@ -540,16 +544,19 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
   // Spark fetch; everything after is local WAND over all segments.
   private val postingCache =
     new BytesLru[String, Array[PostingRow]](1024L << 20,
-      rs => rs.foldLeft(16L)((a, r) => a + BytesLru.rowBytes(r)))
+      (t, rs) => rs.foldLeft(16L + 2L * t.length)((a, r) =>
+        a + BytesLru.rowBytes(r)))
   // per-segment doc-length tables + tombstone rows are fetched per candidate
   // segment and LRU-bounded: an all-segments eager collect would hold
   // O(numDocs) ints on the driver forever — GBs at 10⁹ docs. The
   // distributed path never touches this.
   private val segCache =
-    new BytesLru[Int, (SegLens, Seq[PostingRow])](512L << 20, { case (sl, dels) =>
-      4L * sl.global.length + sl.byField.valuesIterator.map(4L * _.length).sum +
-        dels.iterator.map(BytesLru.rowBytes).sum + 64L
-    })
+    new BytesLru[Int, (SegLens, Seq[PostingRow])](512L << 20,
+      { case (_, (sl, dels)) =>
+        4L * sl.global.length +
+          sl.byField.valuesIterator.map(4L * _.length).sum +
+          dels.iterator.map(BytesLru.rowBytes).sum + 64L
+      })
 
   // Each cache has its own lock, and NEITHER lock is held across a Spark
   // fetch: a cold term/segment must not serialize the concurrent hot
@@ -638,15 +645,16 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       : Map[(Int, Int), Array[String]] =
     cachedFetch(urlCache, urlCache, keys.distinct)(
       missing => {
-        // (segId IN, chunk IN) is a pushdown-friendly superset of the
-        // wanted pairs; the exact pair filter runs on the fetched rows
-        val want = missing.toSet
+        // an OR of exact (segId, chunk) conjunctions — NOT the
+        // (segId IN, chunk IN) cross product, whose superset rows (up to
+        // |segs|×|chunks| multi-MB url blobs for k wanted cells) would
+        // all cross to the driver before any post-filter could drop them
+        val pred = missing.map { case (s, ch) =>
+          col("segId") === s && col("chunk") === ch
+        }.reduce(_ || _)
         postings
-          .filter(col("term") === IndexBuilder.TermUrls &&
-            col("segId").isin(missing.map(_._1).distinct: _*) &&
-            col("chunk").isin(missing.map(_._2).distinct: _*))
+          .filter(col("term") === IndexBuilder.TermUrls && pred)
           .collect().iterator
-          .filter(r => want((r.segId, r.chunk)))
           .map(r => (r.segId, r.chunk) -> Varint.decodeStrings(r.tfBytes))
           .toMap
       },
@@ -720,12 +728,25 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       .mapPartitions { it =>
         it.flatMap { r =>
           val targets = probes.getOrElse(r.segId % P, Array.empty[String])
-          if (targets.isEmpty) Iterator.empty
+          // range precheck against the chunk's (first, last) urls — a
+          // prefix walk, two String allocations — so only the ONE chunk
+          // per segment that can bracket a probe pays the full decode
+          // (2^20 String allocations); a point lookup against a 10^8-doc
+          // segment otherwise decodes ~100 chunks to run ~20 comparisons
+          val inRange =
+            if (targets.isEmpty) targets
+            else Varint.firstLastStrings(r.tfBytes) match {
+              case None => Array.empty[String]
+              case Some((first, last)) => targets.filter(u =>
+                OracleSearch.utf8Compare(u, first) >= 0 &&
+                OracleSearch.utf8Compare(u, last) <= 0)
+            }
+          if (inRange.isEmpty) Iterator.empty
           else {
             val tab = Varint.decodeStrings(r.tfBytes)
             val base =
               IndexBuilder.segBase(r.segId) + r.chunk.toLong * chunkDocs
-            targets.iterator.flatMap { u =>
+            inRange.iterator.flatMap { u =>
               val idx = Searcher.binarySearchUtf8(tab, u)
               if (idx >= 0) Iterator.single((u, r.segId, base + idx + 1))
               else Iterator.empty

@@ -46,6 +46,18 @@ class VarintSpec extends AnyFunSuite {
     }
   }
 
+  test("firstLastStrings agrees with a full decode") {
+    assert(Varint.firstLastStrings(Array.empty[Byte]) === None)
+    assert(Varint.firstLastStrings(Varint.encodeStrings(List("only")))
+      === Some(("only", "only")))
+    (1 to 100).foreach { _ =>
+      val rs = List.fill(1 + rng.nextInt(20))(rng.nextString(rng.nextInt(30)))
+      val blob = Varint.encodeStrings(rs)
+      val full = Varint.decodeStrings(blob)
+      assert(Varint.firstLastStrings(blob) === Some((full.head, full.last)))
+    }
+  }
+
   test("small values use single bytes") {
     assert(Varint.encodeLongs(Seq(0L, 127L)).length === 2)
     assert(Varint.encodeLongs(Seq(128L)).length === 2)
