@@ -54,30 +54,40 @@ object DataDrivenRelation {
     val weights = toks.groupBy("tok")
       .agg((count(lit(1)) / lit(n)).as("w")) // df/n — reference's local idf
     val tw = toks.join(weights, "tok")
-    val sums = tw.groupBy("id").agg(sum("w").as("ws"))
 
+    // ONE exchange keyed on id computes both the doc weight-sum (ws) and
+    // the rare-first cumulative sum: two windows over the same
+    // partitioning share the exchange (guide §2.4), so the old separate
+    // sums aggregation and its THREE re-joins (prefix build, prune a-side,
+    // prune b-side) are gone — ws rides the prefix rows into the candidate
+    // join and arrives on the candidates for free.
+    val ord = Window.partitionBy(col("id")).orderBy(col("w").asc, col("tok").asc)
+    val cum = tw
+      .withColumn("ws", sum("w").over(Window.partitionBy(col("id"))))
+      .withColumn("cum", sum("w").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
     // canonical prefix per doc: rare-first cumulative weight; a row is in
     // the prefix iff the suffix starting AT it still weighs >= c·ws
-    val ord = Window.partitionBy(col("id")).orderBy(col("w").asc, col("tok").asc)
-    val prefix = tw.join(sums, "id")
-      .withColumn("cum", sum("w").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val prefix = cum
       .filter(col("ws") - col("cum") + col("w") >= lit(c) * col("ws"))
-      .select("id", "tok")
+      .select("id", "tok", "ws")
 
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ws").as("wsa"), col("b.ws").as("wsb"))
       .distinct()
 
     // lossless ws-ratio prune BEFORE the expensive intersection sums
     val ratioBound = (1.0 / tEff) * (1.0 / tEff)
     val pruned = candidates
-      .join(sums.withColumnRenamed("id", "id_a").withColumnRenamed("ws", "wsa"), "id_a")
-      .join(sums.withColumnRenamed("id", "id_b").withColumnRenamed("ws", "wsb"), "id_b")
       .filter(greatest(col("wsa"), col("wsb")) / least(col("wsa"), col("wsb"))
         < lit(ratioBound))
 
-    // exact shared-token weight for the surviving pairs only
+    // exact shared-token weight for the surviving pairs only (exploded
+    // equi-join + map-side-partial aggregation; an array_intersect over
+    // (tok, w) STRUCT arrays was measured 4x slower here — complex-type
+    // intersection falls off the hash fast path into O(|A|·|B|)
+    // interpreted comparisons per pair)
     val inter = pruned
       .join(tw.select(col("id").as("id_a"), col("tok")), "id_a")
       .join(tw.select(col("id").as("id_b"), col("tok"), col("w")),

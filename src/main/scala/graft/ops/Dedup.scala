@@ -43,6 +43,37 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(shinglesUdf(col(textCol), lit(n))).as("shingle"))
 
+  /** (id, arr) — one row per doc with its distinct shingle set as an array.
+    * The doc-level form feeds array_intersect verify joins (string arrays —
+    * the hash fast path; struct arrays fall back to O(|A|·|B|) interpreted
+    * comparison). Empty sets are harmless here: they inner-join against
+    * candidate pairs, and an empty-shingle doc can never be a candidate.
+    * Deliberately NO size filter — an explicit size(arr)>0 filter gets
+    * pushed below the projection and re-evaluates the tokenizing UDF twice
+    * more per row (measured in the q11 plan). */
+  private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(n)).as("arr"))
+
+  // shingles with the doc's set size riding each element, so the exploded
+  // table carries sz without a separate aggregation pass OR a second UDF
+  // evaluation: Generate consumes the UDF directly (the array-column form
+  // triggers InferFiltersFromGenerate, whose size()/isnotnull guards get
+  // pushed below the project and re-run the UDF 2x per row)
+  private val shinglesSizedUdf = udf { (text: String, n: Int) =>
+    val sh = shingles(if (text == null) "" else text, n)
+    sh.map(s => (s, sh.length))
+  }
+
+  /** (id, sz, shingle) — the exploded table with the doc's set size riding
+    * along, so downstream joins never re-aggregate or re-join sizes
+    * (guide §2.3: shuffle fewer bytes, §2.4: remove shuffles outright). */
+  private def shingleTableSized(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(shinglesSizedUdf(col(textCol), lit(n))).as("e"))
+      .select(col("id"), col("e._2").as("sz"), col("e._1").as("shingle"))
+
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
     *
     * Shape: block on shingle -> equi-join -> count intersections -> sizes
@@ -53,15 +84,17 @@ object Dedup {
     * when approximate recall is acceptable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // sz rides the exploded rows (it is size(arr), known before the
+    // explode), so the old plan's per-doc sizes aggregation and the two
+    // sizes re-joins vanish: one equi-join + one aggregation is the whole
+    // plan (guide §2.4 — remove shuffles outright). jaccard is a ratio of
+    // exact integers, so the restructure cannot move a 6-dp rounding.
+    val sh = shingleTableSized(docs, idCol, textCol, n)
+    sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -96,24 +129,26 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // sz rides every row of the sized table (guide §2.4): the per-doc
+    // sizes aggregation and its three re-joins (prefix build, ratio prune
+    // a-side, b-side) of the old plan are gone — the prune reads sza/szb
+    // straight off the candidate rows.
+    val sh = shingleTableSized(docs, idCol, textCol, n)
     // 1e-12 slack on c: float rounding must only ever ENLARGE the prefix
     val c = threshold / (1.0 + threshold) - 1e-12
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ord = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = sh.join(dfs, "shingle").join(sizes, "id")
+    val prefix = sh.join(dfs, "shingle")
       .withColumn("pos", row_number().over(ord))
       .filter(col("sz") - col("pos") + 1 >= lit(c) * col("sz"))
-      .select("id", "shingle")
+      .select("id", "shingle", "sz")
 
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .distinct()
     val pruned = candidates
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
       // 1e-6 slack (as in DataDrivenRelation's tEff): float rounding of
       // t*max can exceed an exact-boundary integer min (0.28*25 =
       // 7.000000000000001) and silently drop a pair the exact jaccard
@@ -121,12 +156,15 @@ object Dedup {
       .filter(least(col("sza"), col("szb")) >=
         lit(threshold) * greatest(col("sza"), col("szb")) - 1e-6)
 
-    val inter = pruned
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "sza", "szb")
-      .agg(count(lit(1)).as("inter"))
-    inter
+    // exact intersection for survivors via the doc-level shingle ARRAYS
+    // (array_intersect of two distinct sets == the old exploded
+    // join+count, with no aggregation exchange; intersection counts are
+    // exact integers, so the jaccard value is bit-identical)
+    val arr = shingleArrays(docs, idCol, textCol, n)
+    pruned
+      .join(arr.select(col("id").as("id_a"), col("arr").as("_aa")), "id_a")
+      .join(arr.select(col("id").as("id_b"), col("arr").as("_ab")), "id_b")
+      .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -252,13 +290,14 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
 
-    // band key = hash of the band's signature slice
-    val bandUdf = udf((sig: Seq[Long], band: Int) =>
-      Hashing.hash64(sig.slice(band * rows, (band + 1) * rows).mkString(",")))
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket", bandUdf(col("sig"), col("band")))
-      .select("id", "band", "bucket")
+    // ALL band bucket keys in one UDF call per doc (not one call per
+    // (doc, band) row — §4-style per-row overhead trimmed 16x), exploded
+    // with the band index as the array position
+    val bucketsUdf = udf((sig: Seq[Long]) =>
+      Array.tabulate(bands)(b =>
+        Hashing.hash64(sig.slice(b * rows, (b + 1) * rows).mkString(","))))
+    val banded = sigs
+      .select(col("id"), posexplode(bucketsUdf(col("sig"))).as(Seq("band", "bucket")))
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -266,19 +305,17 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verify on the candidate pairs only
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val shA = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s")
-    val shB = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "s")
-    val inter = candidates
-      .join(shA, "id_a")
-      .join(shB, Seq("id_b", "s")) // shared shingle between the pair
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
-      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+    // exact verify on the candidate pairs only, via the doc-level shingle
+    // ARRAYS: two id equi-joins + array_intersect replace the old exploded
+    // double-join + count aggregation + two sizes joins (guide §2.4); the
+    // jaccard ratio is over exact integers, so values are bit-identical.
+    val arr = shingleArrays(docs, idCol, textCol, n)
+    candidates
+      .join(arr.select(col("id").as("id_a"), col("arr").as("_aa")), "id_a")
+      .join(arr.select(col("id").as("id_b"), col("arr").as("_ab")), "id_b")
+      .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("_aa")) + size(col("_ab")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -330,15 +367,17 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("shiftrightunsigned(sh, band * 16)")
         .bitwiseAND(lit(0xffffL)))
-    val cand = banded.as("a").join(banded.as("b"),
+    // Hamming verify BEFORE the distinct (it is a pure function of the
+    // pair, so dedup-then-filter == filter-then-dedup): the distinct
+    // exchange now carries only the rare qualifying pairs instead of every
+    // band collision (guide §2.3 — shuffle fewer bytes)
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** [[simhashPairs]] escalated for web scale — the Manku/Jain/Sarma
@@ -360,31 +399,32 @@ object Dedup {
     val offsets = Array(0, 11, 22, 33, 44, 54, 64)
     val combos: Array[Array[Int]] =
       (0 until 6).combinations(3).map(_.toArray).toArray
-    val keyUdf = udf { (sh: Long, comboIdx: Int) =>
-      val c = combos(comboIdx)
-      var key = 0L
-      var i = 0
-      while (i < 3) {
-        val b = c(i)
-        val width = offsets(b + 1) - offsets(b)
-        val block = (sh >>> offsets(b)) & ((1L << width) - 1)
-        key = (key << width) | block
-        i += 1
+    // all 20 triple-keys in ONE UDF call per doc (was one call per
+    // (doc, combo) row), exploded with the combo index as the position
+    val keysUdf = udf { (sh: Long) =>
+      combos.map { c =>
+        var key = 0L
+        var i = 0
+        while (i < 3) {
+          val b = c(i)
+          val width = offsets(b + 1) - offsets(b)
+          val block = (sh >>> offsets(b)) & ((1L << width) - 1)
+          key = (key << width) | block
+          i += 1
+        }
+        key
       }
-      key
     }
     val hashed = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
-        explode(sequence(lit(0), lit(combos.length - 1))).as("combo"))
-      .withColumn("key", keyUdf(col("sh"), col("combo")))
-    val cand = banded.as("a").join(banded.as("b"),
+        posexplode(keysUdf(col("sh"))).as(Seq("combo", "key")))
+    // filter-then-distinct, same reasoning as [[simhashPairs]]
+    banded.as("a").join(banded.as("b"),
         col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

@@ -86,9 +86,15 @@ object Ontology {
   private def closure(edges: DataFrame, maxRounds: Int, op: String,
       maxPaths: Long = DefaultMaxPaths): PinnedResult = {
     val spark = edges.sparkSession
+    // LAZY localCheckpoint: the round's fixpoint-statistics aggregation is
+    // the action that materializes (and pins) the blocks, so each round
+    // costs ONE Spark job instead of two (eager checkpoint job + stats
+    // job) — guide §1.2, remove whole passes. Lineage truncation and the
+    // pinned-block bookkeeping are unchanged: persist() registers the RDD
+    // at mark time, the stats job computes every partition.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val out = df.localCheckpoint(false)
       val added = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
       (out, added)
     }
@@ -103,8 +109,11 @@ object Ontology {
     // round currently pinned — these blocks live OUTSIDE the cache
     // manager and would otherwise leak for the session's lifetime
     try {
-      if (anc.isEmpty) return PinnedResult(anc, () => free(held))
-      var total = anc.agg(sum(size(col("anc")))).head().getLong(0)
+      // one aggregation doubles as the materializing action AND the
+      // emptiness probe (sum is null over zero rows)
+      val init = anc.agg(sum(size(col("anc"))), count(lit(1))).head()
+      if (init.getLong(1) == 0L) return PinnedResult(anc, () => free(held))
+      var total = init.getLong(0)
       var round = 0
       var done = false
       while (!done) {

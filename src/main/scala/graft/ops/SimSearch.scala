@@ -337,28 +337,29 @@ object SimSearch {
     val planeVecs: Array[Array[Array[Double]]] = Array.tabulate(tables, planes) {
       (t, p) => hyperplane(t * planes + p, dim)
     }
-    val bucketUdf = udf { (v: Seq[Double], table: Int) =>
-      val ps = planeVecs(table)
-      var key = 0L
-      var p = 0
-      while (p < ps.length) {
-        var s = 0.0
-        var d = 0
-        while (d < v.length) { s += v(d) * ps(p)(d); d += 1 }
-        if (s >= 0) key |= (1L << p)
-        p += 1
-      }
-      key
-    }
+    // ALL tables' bucket keys in ONE UDF call per vector (was one call —
+    // and one planes×dim dot-product sweep setup — per (vector, table)
+    // row), exploded with the table index as the array position.
     // (id, tbl, bucket) only — the vector is consumed by the bucket hash
     // and dropped before the exchange, so the candidate join shuffles three
     // scalar columns, never dim-sized arrays
+    val bucketsUdf = udf { (v: Seq[Double]) =>
+      Array.tabulate(tables) { t =>
+        val ps = planeVecs(t)
+        var key = 0L
+        var p = 0
+        while (p < ps.length) {
+          var s = 0.0
+          var d = 0
+          while (d < v.length) { s += v(d) * ps(p)(d); d += 1 }
+          if (s >= 0) key |= (1L << p)
+          p += 1
+        }
+        key
+      }
+    }
     def bucketed(df: DataFrame, ic: String, vc: String): DataFrame =
-      df.select(col(ic),
-          explode(sequence(lit(0), lit(tables - 1))).as("tbl"),
-          col(vc).as("_bv"))
-        .withColumn("bucket", bucketUdf(col("_bv"), col("tbl")))
-        .drop("_bv")
+      df.select(col(ic), posexplode(bucketsUdf(col(vc))).as(Seq("tbl", "bucket")))
 
     val eVecs = nonNullVecs(emb, vecCol).select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("v"))

@@ -89,14 +89,21 @@ object Searcher {
       "includes may not contain a column named 'url' unless urlCol is 'url'")
     val incs = includes.distinct.filter(_ != urlCol)
     val hitDf = hits.toSeq.toDF("rank", "docId", "url", "score")
+    // semi-join prune BEFORE the dedup aggregation (guide §3.2): the hit
+    // urls are known driver-side and k-bounded, so the corpus scan reads
+    // only their rows (parquet-pushed IN filter) instead of aggregating
+    // the whole corpus to then keep k rows of it. Same result: non-hit
+    // urls could never join anyway.
+    val hitUrls = hits.map(_.url).distinct.toSeq
+    val corpusPruned = corpus.filter(col(urlCol).isin(hitUrls: _*))
     // exactly one deterministic source row per url: a recrawl-shaped corpus
     // may hold several editions of a hit url, and ES returns one _source
     // per hit, never a fan-out (min(struct) = deterministic pick, the same
     // idiom as ops.Lookup)
     val src =
       if (incs.isEmpty)
-        corpus.select(col(urlCol).as("url")).distinct()
-      else corpus.select((urlCol +: incs).map(col): _*)
+        corpusPruned.select(col(urlCol).as("url")).distinct()
+      else corpusPruned.select((urlCol +: incs).map(col): _*)
         .withColumnRenamed(urlCol, "url")
         .groupBy(col("url"))
         .agg(min(struct(incs.map(col): _*)).as("_src"))
@@ -1039,6 +1046,13 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
       import spark.implicits._
       val pos = (c.must ++ c.filter ++ c.scoringTerms).distinct.toSeq
       if (pos.isEmpty) Seq.empty
+      else if (snap.segments.size == 1)
+        // a pre-scan cannot prune a single-segment index, and compile()
+        // already proved every required term (and >= 1 scoring term for
+        // pure-should) has df > 0 index-wide == in THE segment; skipping
+        // the scan saves one Spark job per cold query (guide §1.2: remove
+        // passes that compute nothing)
+        snap.segments.map(_.segId)
       else postings.filter(col("term").isin(pos: _*))
         .select("segId").distinct().as[Int].collect().toSeq
     }
