@@ -71,10 +71,34 @@ object DataDrivenRelation {
       .filter(col("ws") - col("cum") + col("w") >= lit(c) * col("ws"))
       .select("id", "tok", "ws")
 
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.ws").as("wsa"), col("b.ws").as("wsb"))
+    // grouped candidate generation: ONE exchange (group by token, emit
+    // each posting list's ordered id pairs with ws riding) and ONE
+    // computation of the prefix subtree — the self-join recomputed the
+    // whole toks+weights+window pipeline per side (guide §2.4). Head
+    // tokens never reach this group (they live in suffixes), so list
+    // sizes are prefix-bounded exactly as the join's per-key output was.
+    val pairsUdf = udf { (g: Seq[org.apache.spark.sql.Row]) =>
+      val arr = g.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          if (arr(i)._1 != arr(j)._1)
+            out += ((arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2))
+          j += 1
+        }
+        i += 1
+      }
+      out.toArray
+    }
+    val idType = docs.schema(idCol).dataType
+    val candidates = prefix.groupBy("tok")
+      .agg(collect_list(struct(col("id").cast("long").as("id"), col("ws"))).as("g"))
+      .select(explode(pairsUdf(col("g"))).as("p"))
+      .select(col("p._1").cast(idType).as("id_a"),
+        col("p._2").cast(idType).as("id_b"),
+        col("p._3").as("wsa"), col("p._4").as("wsb"))
       .distinct()
 
     // lossless ws-ratio prune BEFORE the expensive intersection sums

