@@ -77,25 +77,29 @@ object DataDrivenRelation {
     // whole toks+weights+window pipeline per side (guide §2.4). Head
     // tokens never reach this group (they live in suffixes), so list
     // sizes are prefix-bounded exactly as the join's per-key output was.
-    val pairsUdf = udf { (g: Seq[org.apache.spark.sql.Row]) =>
-      val arr = g.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toArray
+    // two aligned primitive arrays from one sort_array'd struct list —
+    // primitive UDF parameters skip per-element boxing, sort_array orders
+    // by id (struct's first field) so pairs are deterministic
+    val pairsUdf = udf { (ids: Array[Long], wss: Array[Double]) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
       var i = 0
-      while (i < arr.length) {
+      while (i < ids.length) {
         var j = i + 1
-        while (j < arr.length) {
-          if (arr(i)._1 != arr(j)._1)
-            out += ((arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2))
+        while (j < ids.length) {
+          if (ids(i) != ids(j))
+            out += ((ids(i), ids(j), wss(i), wss(j)))
           j += 1
         }
         i += 1
       }
       out.toArray
-    }
+    }.asNondeterministic()
     val idType = docs.schema(idCol).dataType
     val candidates = prefix.groupBy("tok")
       .agg(collect_list(struct(col("id").cast("long").as("id"), col("ws"))).as("g"))
-      .select(explode(pairsUdf(col("g"))).as("p"))
+      .select(explode(pairsUdf(
+        transform(sort_array(col("g")), x => x.getField("id")),
+        transform(sort_array(col("g")), x => x.getField("ws")))).as("p"))
       .select(col("p._1").cast(idType).as("id_a"),
         col("p._2").cast(idType).as("id_b"),
         col("p._3").as("wsa"), col("p._4").as("wsb"))

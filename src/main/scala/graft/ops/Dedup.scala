@@ -35,8 +35,12 @@ object Dedup {
 
   // null-safe: a NULL text is an empty shingle set, not a task-killing NPE
   // (consistent with exactGroups' null-safe md5 and simhash64's tokenize)
+  // asNondeterministic on the expensive UDFs (here and below): the
+  // optimizer otherwise duplicates them — filters inferred from Generate
+  // re-evaluate a generator-child UDF twice more per row, and pushed
+  // null-filters re-run a projected UDF below the project (guide §4.4)
   private val shinglesUdf = udf((text: String, n: Int) =>
-    shingles(if (text == null) "" else text, n))
+    shingles(if (text == null) "" else text, n)).asNondeterministic()
 
   /** (id, shingle) long format, distinct per doc. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -63,7 +67,7 @@ object Dedup {
   private val shinglesSizedUdf = udf { (text: String, n: Int) =>
     val sh = shingles(if (text == null) "" else text, n)
     sh.map(s => (s, sh.length))
-  }
+  }.asNondeterministic()
 
   /** (id, sz, shingle) — the exploded table with the doc's set size riding
     * along, so downstream joins never re-aggregate or re-join sizes
@@ -83,32 +87,39 @@ object Dedup {
     * output, head shingles never join keys — or the MinHash variant below
     * when approximate recall is acceptable. */
   /** All C(df,2) ordered (id_a < id_b) pairs of one shingle's posting
-    * list — the map side of the inverted-index pair generation. Sorted by
-    * id so output is deterministic regardless of collect_list order. The
-    * quadratic emit per list is exactly the quantity the auto selector's
-    * Σ df·(df−1)/2 budget bounds before this plan is chosen. */
-  private val shinglePairsUdf = udf { (g: Seq[org.apache.spark.sql.Row]) =>
-    val arr = g.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
+    * list — the map side of the inverted-index pair generation. Inputs
+    * are two ALIGNED primitive arrays derived from one sort_array'd
+    * struct list (primitive-array UDF parameters skip the per-element
+    * boxing a Seq[Row] pays; sort_array orders by id, the struct's first
+    * field, so output is deterministic). The quadratic emit per list is
+    * exactly the quantity the auto selector's Σ df·(df−1)/2 budget bounds
+    * before this plan is chosen. */
+  private val shinglePairsUdf = udf { (ids: Array[Long], szs: Array[Int]) =>
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
     var i = 0
-    while (i < arr.length) {
+    while (i < ids.length) {
       var j = i + 1
-      while (j < arr.length) {
+      while (j < ids.length) {
         // strict id_a < id_b, like the join's a.id < b.id (duplicate-id
-        // input rows must not self-pair)
-        if (arr(i)._1 != arr(j)._1)
-          out += ((arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2))
+        // input rows must not self-pair; sorted, so dups are adjacent)
+        if (ids(i) != ids(j)) out += ((ids(i), ids(j), szs(i), szs(j)))
         j += 1
       }
       i += 1
     }
     out.toArray
-  }
+  }.asNondeterministic()
+
+  /** sort_array'd (id, payload) struct list split into the two aligned
+    * primitive columns the pair UDFs take. */
+  private def sortedCols(g: Column): (Column, Column) =
+    (transform(sort_array(g), x => x.getField("id")),
+      transform(sort_array(g), x => x.getField("p")))
 
   /** Ordered id pairs of one bucket's id list (strict <) — the grouped
     * form of the banded candidate self-join. */
-  private val idPairsUdf = udf { (g: Seq[Long]) =>
-    val arr = g.sorted.toArray
+  private val idPairsUdf = udf { (g: Array[Long]) =>
+    val arr = g.sorted
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var i = 0
     while (i < arr.length) {
@@ -120,7 +131,7 @@ object Dedup {
       i += 1
     }
     out.toArray
-  }
+  }.asNondeterministic()
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
@@ -136,9 +147,11 @@ object Dedup {
     // form.
     val idType = docs.schema(idCol).dataType
     val sh = shingleTableSized(docs, idCol, textCol, n)
+    val (ids, szs) = sortedCols(col("g"))
     sh.groupBy("shingle")
-      .agg(collect_list(struct(col("id").cast("long").as("id"), col("sz"))).as("g"))
-      .select(explode(shinglePairsUdf(col("g"))).as("p"))
+      .agg(collect_list(struct(col("id").cast("long").as("id"),
+        col("sz").as("p"))).as("g"))
+      .select(explode(shinglePairsUdf(ids, szs)).as("p"))
       .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"),
         col("p._3").as("sza"), col("p._4").as("szb"))
       .agg(count(lit(1)).as("inter"))
@@ -198,9 +211,11 @@ object Dedup {
     // grouped candidate generation (ONE exchange + ONE computation of the
     // prefix subtree; the self-join recomputed it per side — guide §2.4)
     val idType = docs.schema(idCol).dataType
+    val (cids, cszs) = sortedCols(col("g"))
     val candidates = prefix.groupBy("shingle")
-      .agg(collect_list(struct(col("id").cast("long").as("id"), col("sz"))).as("g"))
-      .select(explode(shinglePairsUdf(col("g"))).as("p"))
+      .agg(collect_list(struct(col("id").cast("long").as("id"),
+        col("sz").as("p"))).as("g"))
+      .select(explode(shinglePairsUdf(cids, cszs)).as("p"))
       .select(col("p._1").cast(idType).as("id_a"),
         col("p._2").cast(idType).as("id_b"),
         col("p._3").as("sza"), col("p._4").as("szb"))
@@ -330,7 +345,7 @@ object Dedup {
     val sigUdf = udf { (text: String) =>
       val sh = shingles(if (text == null) "" else text, n)
       if (sh.isEmpty) null else minhashOf(sh, numHashes)
-    }
+    }.asNondeterministic()
     docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
   }
@@ -349,10 +364,11 @@ object Dedup {
 
     // ALL band bucket keys in one UDF call per doc (not one call per
     // (doc, band) row — §4-style per-row overhead trimmed 16x), exploded
-    // with the band index as the array position
-    val bucketsUdf = udf((sig: Seq[Long]) =>
+    // with the band index as the array position. Array[Long] input for
+    // the primitive converter (a Seq parameter is boxed per element).
+    val bucketsUdf = udf((sig: Array[Long]) =>
       Array.tabulate(bands)(b =>
-        Hashing.hash64(sig.slice(b * rows, (b + 1) * rows).mkString(","))))
+        Hashing.hash64(sig.slice(b * rows, (b + 1) * rows).mkString(",")))).asNondeterministic()
     val banded = sigs
       .select(col("id").cast("long").as("id"),
         posexplode(bucketsUdf(col("sig"))).as(Seq("band", "bucket")))
@@ -408,7 +424,7 @@ object Dedup {
     out
   }
 
-  val simhashUdf = udf((text: String) => simhash64(text))
+  val simhashUdf = udf((text: String) => simhash64(text)).asNondeterministic()
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * banding the 64-bit hash into 4x16-bit keys (any pair within Hamming 3
@@ -431,30 +447,30 @@ object Dedup {
     * only qualifying pairs are ever emitted (the distinct exchange carries
     * the rare survivors, not every band collision — guide §2.3/§2.4). */
   private def simhashBucketPairsUdf(maxHamming: Int) =
-    udf { (g: Seq[org.apache.spark.sql.Row]) =>
-      val arr = g.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toArray
+    udf { (ids: Array[Long], shs: Array[Long]) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
       var i = 0
-      while (i < arr.length) {
+      while (i < ids.length) {
         var j = i + 1
-        while (j < arr.length) {
-          if (arr(i)._1 != arr(j)._1) {
-            val h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
-            if (h <= maxHamming) out += ((arr(i)._1, arr(j)._1, h))
+        while (j < ids.length) {
+          if (ids(i) != ids(j)) {
+            val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
+            if (h <= maxHamming) out += ((ids(i), ids(j), h))
           }
           j += 1
         }
         i += 1
       }
       out.toArray
-    }
+    }.asNondeterministic()
 
   private def simhashPairsFromBanded(docs: DataFrame, idCol: String,
       banded: DataFrame, bandCol: String, maxHamming: Int): DataFrame = {
     val idType = docs.schema(idCol).dataType
+    val (ids, shs) = sortedCols(col("g"))
     banded.groupBy(bandCol, "key")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("g"))
-      .select(explode(simhashBucketPairsUdf(maxHamming)(col("g"))).as("p"))
+      .agg(collect_list(struct(col("id"), col("sh").as("p"))).as("g"))
+      .select(explode(simhashBucketPairsUdf(maxHamming)(ids, shs)).as("p"))
       .select(col("p._1").cast(idType).as("id_a"),
         col("p._2").cast(idType).as("id_b"), col("p._3").as("hamming"))
       .distinct()
@@ -506,7 +522,7 @@ object Dedup {
         }
         key
       }
-    }
+    }.asNondeterministic()
     val hashed = docs.select(col(idCol).cast("long").as("id"),
       simhashUdf(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),

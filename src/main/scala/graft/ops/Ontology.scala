@@ -48,7 +48,11 @@ object Ontology {
     * numeric are dropped. */
   def subClassEdges(df: DataFrame, xmlCol: String,
       stripPrefix: String = ""): DataFrame = {
+    // asNondeterministic: a StAX parse is expensive, and the optimizer
+    // otherwise re-evaluates it inside filters inferred from the explode
+    // (guide §4.4)
     val parse = udf { (xml: String) => parseSubClassEdges(xml) }
+      .asNondeterministic()
     val quoted = java.util.regex.Pattern.quote(stripPrefix)
     df.select(explode(parse(col(xmlCol))).as("_e"))
       .select(
@@ -84,7 +88,7 @@ object Ontology {
     * this thread's checkpoint call; a concurrent persist landing inside it
     * would at worst be unpersisted early and recompute — never corrupt.) */
   private def closure(edges: DataFrame, maxRounds: Int, op: String,
-      maxPaths: Long = DefaultMaxPaths): PinnedResult = {
+      maxPaths: Long = DefaultMaxPaths, requireForest: Boolean = false): PinnedResult = {
     val spark = edges.sparkSession
     // LAZY localCheckpoint: the round's fixpoint-statistics aggregation is
     // the action that materializes (and pins) the blocks, so each round
@@ -109,10 +113,23 @@ object Ontology {
     // round currently pinned — these blocks live OUTSIDE the cache
     // manager and would otherwise leak for the session's lifetime
     try {
-      // one aggregation doubles as the materializing action AND the
-      // emptiness probe (sum is null over zero rows)
-      val init = anc.agg(sum(size(col("anc"))), count(lit(1))).head()
+      // one aggregation doubles as the materializing action, the
+      // emptiness probe (sum is null over zero rows) AND — for
+      // ancestorChain — the forest precondition (edges arrive deduped on
+      // (id, parent), so a repeated id IS a multi-parent node); folding
+      // the check here saves the separate parse+distinct job it used to
+      // run, and the diagnostic query naming an offender only runs on the
+      // (fatal) violation path
+      val init = anc.agg(sum(size(col("anc"))), count(lit(1)),
+        countDistinct(col("id"))).head()
       if (init.getLong(1) == 0L) return PinnedResult(anc, () => free(held))
+      if (requireForest && init.getLong(2) != init.getLong(1)) {
+        val dup = anc.groupBy(col("id")).count()
+          .filter(col("count") > 1).select(col("id")).limit(1).collect()
+        throw new IllegalArgumentException(
+          s"ancestorChain: node ${if (dup.nonEmpty) dup(0).get(0) else "?"} has " +
+            "multiple parents — a forest is required (ancestorPaths handles DAGs)")
+      }
       var total = init.getLong(0)
       var round = 0
       var done = false
@@ -185,12 +202,7 @@ object Ontology {
     // spuriously), and feed the deduped edges to the closure so repeated
     // rows cannot double its path accounting either
     val e = edges.select("id", "parent").distinct()
-    val dup = e.groupBy(col("id")).count()
-      .filter(col("count") > 1).select(col("id")).limit(1).collect()
-    require(dup.isEmpty,
-      s"ancestorChain: node ${if (dup.nonEmpty) dup(0).get(0) else ""} has " +
-        "multiple parents — a forest is required (ancestorPaths handles DAGs)")
-    closure(e, maxRounds, "ancestorChain")
+    closure(e, maxRounds, "ancestorChain", requireForest = true)
   }
 
   /** ALL root-first ancestor paths per node over a multi-inheritance DAG:

@@ -310,8 +310,12 @@ object SimSearch {
       scored.sortBy { case (cos, cid) => (-cos, cid) }.take(n).map(_._2)
     }
 
+    // asNondeterministic: stop the optimizer duplicating the centroid
+    // sweep into inferred null/size filters (guide §4.4)
     val assignUdf = udf { (v: Array[Double]) => nearestCells(v, 1)(0) }
+      .asNondeterministic()
     val probeCellsUdf = udf { (v: Array[Double]) => nearestCells(v, nprobe) }
+      .asNondeterministic()
 
     val assigned = e.withColumn("cell", assignUdf(col("v")))
     val p = nonNullVecs(probes, vecCol)
@@ -343,7 +347,10 @@ object SimSearch {
     // (id, tbl, bucket) only — the vector is consumed by the bucket hash
     // and dropped before the exchange, so the candidate join shuffles three
     // scalar columns, never dim-sized arrays
-    val bucketsUdf = udf { (v: Seq[Double]) =>
+    // Array[Double] (NOT Seq[Double]) input: the Seq converter hands the
+    // loop a boxed/dispatching view and was measured 12x slower inside
+    // the Generate — the same primitive-loop rule as cosineFast
+    val bucketsUdf = udf { (v: Array[Double]) =>
       Array.tabulate(tables) { t =>
         val ps = planeVecs(t)
         var key = 0L
@@ -357,7 +364,7 @@ object SimSearch {
         }
         key
       }
-    }
+    }.asNondeterministic()
     def bucketed(df: DataFrame, ic: String, vc: String): DataFrame =
       df.select(col(ic), posexplode(bucketsUdf(col(vc))).as(Seq("tbl", "bucket")))
 

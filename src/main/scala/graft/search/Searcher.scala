@@ -684,13 +684,25 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
     }
   }
 
+  // per-term df memo for handles WITHOUT the full driver dictionary: df
+  // against the pinned snapshot is immutable, so a repeated term (paging
+  // cursors re-compile the same query per page; a served handle re-probes
+  // its hot terms) never re-runs the termdict probe job. Absent terms
+  // negative-cache as None — the snapshot cannot grow one later.
+  private val dictCache =
+    new BytesLru[String, Option[Long]](8L << 20, (t, _) => 48L + 2L * t.length)
+  private val dictLock = new Object
+
   private def dictDf(terms: Seq[String]): Map[String, Long] = driverDict match {
     case Some(m) => terms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
     case None =>
       if (terms.isEmpty) Map.empty
-      else termdict.filter(col("term").isin(terms: _*))
-        .select("term", "df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else cachedFetch(dictCache, dictLock, terms)(
+        missing => termdict.filter(col("term").isin(missing: _*))
+          .select("term", "df").collect()
+          .map(r => r.getString(0) -> Option(r.getLong(1))).toMap,
+        absent = Some(_ => None))
+        .collect { case (t, Some(df)) => t -> df }
   }
 
   /** ids (urls) -> per-segment sorted docIds, resolved EXECUTOR-side: each

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Throwaway A/B harness for round-6 optimization experiments (not part
@@ -11,57 +12,67 @@ object ScratchAB {
     val base = s"${BenchHarness.tmpfsRoot}/graft-scratch"
     val spark = BenchHarness.session("graft-scratch", cpus, s"$base/spark-local")
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = docs0.filter(col("doc_id") < 500)
 
     def timed(label: String)(f: => Long): Unit = {
-      (1 to 4).foreach { i =>
+      (1 to 5).foreach { i =>
         val t0 = System.nanoTime()
         val n = f
         println(f"[ab] $label rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
       }
     }
 
-    // A: current jaccardPairs (sized join)
-    timed("join   ")(graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
-    // B: selector overhead alone
-    timed("auto   ")(graft.ops.Dedup.jaccardPairsAuto(docs, "doc_id", "text", 3, 0.5).count())
+    timed("full   ")(graft.ops.DataDrivenRelation
+      .weightedOverlapPairs(docs, "doc_id", "text", 0.9).count())
 
-    val shingles = udf((text: String, n: Int) => {
-      val sh = graft.ops.Dedup.shingles(if (text == null) "" else text, n)
-      sh.map(s => (s, sh.length))
-    })
-    def sh = docs.select(col("doc_id").as("id"),
-        explode(shingles(col("text"), lit(3))).as("e"))
-      .select(col("id"), col("e._2").as("sz"), col("e._1").as("shingle"))
-    // C: tokenize+explode alone
-    timed("sh     ")(sh.count())
-    // D: the self-join without the aggregation
-    timed("joinraw")(sh.as("a").join(sh.as("b"),
-      col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id")).count())
-    // E: inverted-index pair generation (1 scan, 2 exchanges, no join)
-    val pairsUdf = udf { (g: Seq[org.apache.spark.sql.Row]) =>
-      val arr = g.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+    val n = docs.count().toDouble
+    val tEff = 0.9 - 1e-6
+    val c = tEff * tEff / (1.0 + tEff * tEff)
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val weights = toks.groupBy("tok").agg((count(lit(1)) / lit(n)).as("w"))
+    def tw = toks.join(weights, "tok")
+    timed("tw     ")(tw.count())
+    val ord = Window.partitionBy(col("id")).orderBy(col("w").asc, col("tok").asc)
+    def cum = tw
+      .withColumn("ws", sum("w").over(Window.partitionBy(col("id"))))
+      .withColumn("cum", sum("w").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    timed("cum    ")(cum.count())
+    def prefix = cum
+      .filter(col("ws") - col("cum") + col("w") >= lit(c) * col("ws"))
+      .select("id", "tok", "ws")
+    val pairsUdf = udf { (ids: Array[Long], wss: Array[Double]) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
       var i = 0
-      while (i < arr.length) {
+      while (i < ids.length) {
         var j = i + 1
-        while (j < arr.length) {
-          out += ((arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2)); j += 1
+        while (j < ids.length) {
+          if (ids(i) != ids(j)) out += ((ids(i), ids(j), wss(i), wss(j)))
+          j += 1
         }
         i += 1
       }
       out.toArray
-    }
-    def inv = sh.groupBy("shingle")
-      .agg(collect_list(struct(col("id"), col("sz"))).as("g"))
-      .select(explode(pairsUdf(col("g"))).as("p"))
-      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("sza"), col("p._4").as("szb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-    timed("invidx ")(inv.count())
+    }.asNondeterministic()
+    def candidates = prefix.groupBy("tok")
+      .agg(collect_list(struct(col("id").cast("long").as("id"), col("ws"))).as("g"))
+      .select(explode(pairsUdf(
+        transform(sort_array(col("g")), x => x.getField("id")),
+        transform(sort_array(col("g")), x => x.getField("ws")))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("wsa"), col("p._4").as("wsb"))
+      .distinct()
+    timed("cand   ")(candidates.count())
+    val ratioBound = (1.0 / tEff) * (1.0 / tEff)
+    def pruned = candidates.filter(
+      greatest(col("wsa"), col("wsb")) / least(col("wsa"), col("wsb")) < lit(ratioBound))
+    def inter = pruned
+      .join(tw.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(tw.select(col("id").as("id_b"), col("tok"), col("w")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "wsa", "wsb")
+      .agg(sum(col("w")).as("iw"))
+    timed("inter  ")(inter.count())
 
     spark.stop()
     BenchHarness.deleteDir(base)
