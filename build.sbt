@@ -16,6 +16,9 @@ run / fork := true
 // a consumer reading the last line of a runMain's output gets sbt's
 // banner instead of the program's result
 Global / showSuccess := false
+// showSuccess is consumed by sbt commands, not tasks, so the lintUnused
+// check flags it on every invocation; exclude it to keep sbt output quiet
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -235,14 +235,29 @@ object Snapshot {
 
   def latest(indexDir: String): Option[SnapshotMeta] = {
     val ptr = snapsDir(indexDir).resolve("LATEST")
-    def read(): Option[SnapshotMeta] =
-      if (!Files.exists(ptr)) None
-      else at(indexDir, Files.readString(ptr).trim.toInt)
     // between reading LATEST and opening its snap file, a concurrent
     // commit+vacuum can advance the pointer and reclaim the snap we were
-    // about to open — one re-read lands on the NEW head instead of
-    // reporting a committed index as empty
-    read().orElse(read())
+    // about to open — re-read until the open succeeds or the pointer
+    // reads the SAME id twice in a row (a stable pointer whose snap file
+    // is missing is real corruption, not a race; and commits only ever
+    // advance the id, so the loop is bounded by commit progress)
+    @annotation.tailrec
+    def loop(prevId: Int): Option[SnapshotMeta] =
+      if (!Files.exists(ptr)) None
+      else {
+        val id = Files.readString(ptr).trim.toInt
+        // a vacuum deleting the snap between at()'s exists-check and its
+        // read is the same race in a narrower window — retryable miss
+        val opened =
+          try at(indexDir, id)
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        opened match {
+          case some @ Some(_) => some
+          case None if id != prevId => loop(id)
+          case None => None
+        }
+      }
+    loop(Int.MinValue)
   }
 
   /** Time travel: read a specific committed snapshot by id. Data dirs of

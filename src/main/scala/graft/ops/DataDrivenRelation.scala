@@ -115,9 +115,13 @@ object DataDrivenRelation {
     // equi-join + map-side-partial aggregation; an array_intersect over
     // (tok, w) STRUCT arrays was measured 4x slower here — complex-type
     // intersection falls off the hash fast path into O(|A|·|B|)
-    // interpreted comparisons per pair)
+    // interpreted comparisons per pair). The a-side needs only (id, tok):
+    // `toks` suffices — the weights join is cardinality-preserving
+    // (weights has exactly one row per tok, derived FROM toks), so using
+    // tw there paid a whole weights-aggregation+join subtree for a column
+    // the join never read (guide §2.4).
     val inter = pruned
-      .join(tw.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
       .join(tw.select(col("id").as("id_b"), col("tok"), col("w")),
         Seq("id_b", "tok"))
       .groupBy("id_a", "id_b", "wsa", "wsb")

@@ -295,10 +295,20 @@ object Dedup {
     val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription("jaccard-auto: measuring pair estimate")
     try {
-      val sh = shingleTable(docs, idCol, textCol, n)
+      // the estimate groups by a 64-bit shingle HASH, not the shingle
+      // string: the stats shuffle then carries 8-byte keys instead of
+      // n-gram strings (guide §2.3 narrower types). A 64-bit collision —
+      // negligible below ~10⁹ distinct shingles — can only MERGE two dfs,
+      // i.e. only ever enlarges the pair estimate, which errs toward the
+      // skew-safe prefix plan; the decision statistic is otherwise
+      // identical (measured: same pairs/rows on the bench corpora).
+      val hashedUdf = udf((text: String, nn: Int) =>
+        shingles(if (text == null) "" else text, nn)
+          .map(Hashing.hash64)).asNondeterministic()
+      val sh = docs.select(explode(hashedUdf(col(textCol), lit(n))).as("h"))
       // doubles: df·(df−1) overflows Long at df ~ 3e9, and a cost estimate
       // needs no exactness there
-      val st = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val st = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .agg(sum(col("df").cast("double") * (col("df") - 1) / 2).as("pairs"),
           sum(col("df")).as("rows"))
         .head()

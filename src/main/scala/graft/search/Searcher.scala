@@ -655,10 +655,22 @@ final class IndexHandle(spark: SparkSession, indexDir: String, warm: Boolean = t
         // an OR of exact (segId, chunk) conjunctions — NOT the
         // (segId IN, chunk IN) cross product, whose superset rows (up to
         // |segs|×|chunks| multi-MB url blobs for k wanted cells) would
-        // all cross to the driver before any post-filter could drop them
-        val pred = missing.map { case (s, ch) =>
+        // all cross to the driver before any post-filter could drop them.
+        // BALANCED reduction: a left-deep reduce(_ || _) builds an OR tree
+        // whose depth equals |missing|, and a large-k page touching many
+        // chunks then pays analyzer recursion/optimization cost per level;
+        // log-depth keeps the exact-pair semantics (and the parquet
+        // pushdown of the OR-of-conjunctions) with a flat tree.
+        def orTree(ps: IndexedSeq[org.apache.spark.sql.Column])
+            : org.apache.spark.sql.Column =
+          if (ps.length == 1) ps.head
+          else {
+            val (l, r) = ps.splitAt(ps.length / 2)
+            orTree(l) || orTree(r)
+          }
+        val pred = orTree(missing.toIndexedSeq.map { case (s, ch) =>
           col("segId") === s && col("chunk") === ch
-        }.reduce(_ || _)
+        })
         postings
           .filter(col("term") === IndexBuilder.TermUrls && pred)
           .collect().iterator
