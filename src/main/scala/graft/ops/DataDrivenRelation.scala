@@ -62,8 +62,15 @@ object DataDrivenRelation {
     // prune b-side) are gone — ws rides the prefix rows into the candidate
     // join and arrives on the candidates for free.
     val ord = Window.partitionBy(col("id")).orderBy(col("w").asc, col("tok").asc)
+    // BOTH windows share ord (same partition AND order): ws as a
+    // full-partition frame over the ordered spec is the same sum, but the
+    // shared spec lets Spark evaluate both frames in ONE Window operator —
+    // the unordered-ws form planned a second WindowExec plus an extra full
+    // sort of the token table between them (plan: 2 Window + 2 Sort →
+    // 1 Window + 1 Sort)
     val cum = tw
-      .withColumn("ws", sum("w").over(Window.partitionBy(col("id"))))
+      .withColumn("ws", sum("w").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("cum", sum("w").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
     // canonical prefix per doc: rare-first cumulative weight; a row is in
     // the prefix iff the suffix starting AT it still weighs >= c·ws
